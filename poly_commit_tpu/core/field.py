@@ -303,17 +303,25 @@ def batch_inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def from_ints(spec: FieldSpec, xs, mont: bool = True) -> jnp.ndarray:
-    """Python ints -> limb array (Montgomery form by default)."""
+def from_ints_np(spec: FieldSpec, xs, mont: bool = True) -> np.ndarray:
+    """Python ints -> numpy limb array (host-side Montgomery conversion)."""
+
+    def conv(x):
+        v = int(x) % spec.modulus
+        if mont:
+            v = v * spec.R % spec.modulus
+        return int_to_limbs(v, spec.n_limbs)
+
     if isinstance(xs, (int, np.integer)):
-        arr = np.asarray(int_to_limbs(int(xs) % spec.modulus, spec.n_limbs))
-    else:
-        xs_flat = np.asarray(
-            [int_to_limbs(int(x) % spec.modulus, spec.n_limbs) for x in np.ravel(np.asarray(xs, dtype=object))]
-        ).reshape(np.shape(xs) + (spec.n_limbs,))
-        arr = xs_flat
-    out = jnp.asarray(arr, dtype=jnp.uint32)
-    return to_mont(spec, out) if mont else out
+        return conv(xs)
+    return np.asarray(
+        [conv(x) for x in np.ravel(np.asarray(xs, dtype=object))], dtype=np.uint32
+    ).reshape(np.shape(xs) + (spec.n_limbs,))
+
+
+def from_ints(spec: FieldSpec, xs, mont: bool = True) -> jnp.ndarray:
+    """Python ints -> device limb array (Montgomery form by default)."""
+    return jnp.asarray(from_ints_np(spec, xs, mont), dtype=jnp.uint32)
 
 
 def to_ints(spec: FieldSpec, a: jnp.ndarray, mont: bool = True):

@@ -1,0 +1,257 @@
+"""Multi-scalar multiplication (Pippenger) reformulated for TPU/XLA.
+
+Replaces arkworks' ``VariableBaseMSM::msm_bigint`` (used from every scheme,
+e.g. /root/reference/poly-commit/src/kzg10/mod.rs:175) with a sort-based,
+scatter-light formulation in which every elliptic-curve operation lives inside
+a trace-once ``lax.scan`` body:
+
+  1. Window digits (c bits) are extracted from plain scalar limbs; per window
+     the points are sorted by digit (one batched argsort).
+  2. Bucket accumulation: the sorted array is laid out as (lanes T) x (steps L)
+     and scanned sequentially over L with one *mixed add* per step vectorized
+     over all windows x lanes. Completed segments (= finished buckets) are
+     scattered into a dense bucket table carried as scan state (in-place XLA
+     update). Each lane's leading segment and trailing partial go to a small
+     "pool", which a second scan merges (buckets crossing lane boundaries),
+     so every bucket is written to the table exactly once.
+  3. Bucket reduction sum_j j*B_j uses the descending running-sum identity,
+     tiled as (T3 x L3) with two EC adds per step, then a tile-combine scan.
+  4. Window results fold via Horner: acc = 2^c * acc + S_w.
+
+Total EC work ~= W*(N + 3*2^c) mixed/general adds — Pippenger-grade — with
+sequential depth ~L + 2T + L3 + T3 steps; all vector ops batch over
+windows*lanes, which is where the VPU and (sharded) multi-chip parallelism
+live. See parallel/mesh.py for the cross-chip psum layer.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import field as F
+
+SCALAR_BITS = 256  # all supported scalar fields fit 16 x 16-bit limbs
+
+
+def _pick_params(n: int, c: int | None, lanes: int | None):
+    if c is None:
+        c = 16 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
+    assert 16 % c == 0 and c <= 16
+    if lanes is None:
+        # ~sqrt(N)*4 lanes balances sequential depth (N/T) vs pool size (2T)
+        lanes = 1 << min(11, max(0, (n.bit_length() // 2) + 2))
+        lanes = min(lanes, 1 << max(0, n.bit_length() - 1))
+    return c, max(1, lanes)
+
+
+def _digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(N, 16) plain limbs -> (W, N) window digits of c bits."""
+    w_count = SCALAR_BITS // c
+    per_limb = 16 // c
+    mask = jnp.uint32((1 << c) - 1)
+    outs = []
+    for w in range(w_count):
+        limb = w // per_limb
+        shift = (w % per_limb) * c
+        outs.append((scalars[:, limb] >> shift) & mask)
+    return jnp.stack(outs, axis=0)
+
+
+def _interleave(a, b, axis):
+    """Interleave two equal arrays along ``axis`` (a0, b0, a1, b1, ...)."""
+    stacked = jnp.stack([a, b], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] *= 2
+    return stacked.reshape(shape)
+
+
+def _tree(fn, *trees):
+    return jax.tree_util.tree_map(fn, *trees)
+
+
+def _double_n(group, p, n: int):
+    def body(p, _):
+        return group.double(p), None
+
+    p, _ = jax.lax.scan(body, p, None, length=n)
+    return p
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | None = None):
+    """MSM: sum_i scalars[i] * points[i].
+
+    group:   WeierstrassGroup / EdwardsGroup (static).
+    scalars: (N, 16) uint32 plain (non-Montgomery) little-endian 16-bit limbs.
+    points:  affine (x, y, inf_mask) with leading batch axis N.
+    Returns a projective point (group's native representation, batch ()).
+    """
+    x, y, inf = points
+    n = scalars.shape[0]
+    c, t_lanes = _pick_params(n, c, lanes)
+    bsz = 1 << c
+    dump = jnp.uint32(bsz)
+    w_count = SCALAR_BITS // c
+
+    # ---- digits, padding, per-window sort ----
+    digs = _digits(scalars, c)  # (W, N)
+    digs = jnp.where(inf[None, :], dump, digs)
+    l_steps = -(-n // t_lanes)
+    padn = l_steps * t_lanes - n
+    if padn:
+        digs = jnp.pad(digs, ((0, 0), (0, padn)), constant_values=np.uint32(bsz))
+        zpad = [(0, padn)] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, zpad)
+        y = jnp.pad(y, zpad)
+    order = jnp.argsort(digs, axis=1)  # (W, N')
+    sd = jnp.take_along_axis(digs, order, axis=1)
+    sx = jnp.take(x, order, axis=0)  # (W, N', ...)
+    sy = jnp.take(y, order, axis=0)
+
+    # lay out as (L, W, T): lane t covers sorted slice [t*L, (t+1)*L)
+    def to_lwt(a):
+        a = a.reshape((w_count, t_lanes, l_steps) + a.shape[2:])
+        return jnp.moveaxis(a, 2, 0)
+
+    sd_l = to_lwt(sd)
+    sx_l = to_lwt(sx)
+    sy_l = to_lwt(sy)
+    lead_keys = sd.reshape(w_count, t_lanes, l_steps)[:, :, 0]  # (W, T)
+
+    fshape = (w_count, t_lanes)
+    inf_pt = group.infinity(fshape)
+    table_slots = w_count * (bsz + 2)
+    table = group.infinity((table_slots,))
+
+    def scatter(table, keys_flat, pt):
+        """keys_flat: (M,) already offset by window; pt coords (M, ...)."""
+        return tuple(
+            tc.at[keys_flat].set(pc) for tc, pc in zip(table, pt)
+        )
+
+    w_off = (jnp.arange(w_count, dtype=jnp.uint32) * (bsz + 2))[:, None]  # (W,1)
+
+    def flat_keys(keys):  # (W, T) -> (W*T,)
+        return (keys + w_off).reshape(-1)
+
+    def main_body(state, inp):
+        table, accum, cur_key, have_init, init_pt = state
+        key, px, py = inp
+        same = key == cur_key
+        complete = ~same
+        emit_mask = complete & have_init
+        out_key = jnp.where(emit_mask, cur_key, dump)
+        out_pt = _tree(lambda a: a.reshape((w_count * t_lanes,) + a.shape[2:]),
+                       group.select(emit_mask, accum, inf_pt))
+        table = scatter(table, flat_keys(out_key), out_pt)
+        is_init = complete & ~have_init
+        init_pt = group.select(is_init, accum, init_pt)
+        have_init = have_init | complete
+        fresh = group.from_affine(px, py)
+        added = group.madd(accum, px, py)
+        accum = group.select(same, added, fresh)
+        return (table, accum, key, have_init, init_pt), None
+
+    # cur_key starts at each lane's first key so step 0 is a plain
+    # accumulation, not a spurious "segment completed" transition.
+    state0 = (
+        table,
+        inf_pt,
+        lead_keys,
+        jnp.zeros(fshape, bool),
+        inf_pt,
+    )
+    (table, accum, cur_key, have_init, init_pt), _ = jax.lax.scan(
+        main_body, state0, (sd_l, sx_l, sy_l)
+    )
+
+    # ---- pool: per-lane lead (first segment) and trail (last partial) ----
+    lead_pt = group.select(have_init, init_pt, inf_pt)
+    pool_keys = _interleave(lead_keys, cur_key, axis=1)  # (W, 2T)
+    pool_pts = _tree(lambda a, b: _interleave(a, b, axis=1), lead_pt, accum)
+
+    pool_inputs = (
+        jnp.moveaxis(pool_keys, 1, 0),  # (2T, W)
+        _tree(lambda a: jnp.moveaxis(a, 1, 0), pool_pts),
+    )
+    winf = group.infinity((w_count,))
+    w_off1 = jnp.arange(w_count, dtype=jnp.uint32) * (bsz + 2)
+
+    def pool_body(state, inp):
+        table, acc, key2 = state
+        key, pt = inp
+        same = key == key2
+        emit = ~same
+        out_key = jnp.where(emit, key2, dump)
+        out_pt = group.select(emit, acc, winf)
+        table = scatter(table, out_key + w_off1, out_pt)
+        acc = group.select(same, group.add(acc, pt), pt)
+        return (table, acc, key), None
+
+    (table, acc2, key2), _ = jax.lax.scan(
+        pool_body, (table, winf, jnp.full((w_count,), bsz, jnp.uint32)), pool_inputs
+    )
+    table = scatter(table, key2 + w_off1, acc2)
+
+    # ---- bucket reduction: S_w = sum_{j>=1} j * table[w, j] ----
+    l3 = min(256, 1 << max(0, (bsz - 1).bit_length() - 1))
+    t3 = -(-(bsz - 1) // l3)
+    # descending bucket indices padded at the FRONT with the dump slot
+    idx_desc = np.concatenate(
+        [np.full(t3 * l3 - (bsz - 1), bsz + 1, np.int64), np.arange(bsz - 1, 0, -1)]
+    )  # front-padded with the never-written (infinity) slot bsz+1
+    flat_idx = (
+        np.arange(w_count)[:, None] * (bsz + 2) + idx_desc[None, :]
+    )  # (W, T3*L3)
+    flat_idx = jnp.asarray(flat_idx.reshape(w_count, t3, l3))
+    d_pts = _tree(lambda a: jnp.moveaxis(jnp.take(a, flat_idx, axis=0), 2, 0), table)
+
+    tinf = group.infinity((w_count, t3))
+
+    def bucket_body(state, d):
+        running, total = state
+        running = group.add(running, d)
+        total = group.add(total, running)
+        return (running, total), None
+
+    (running, total), _ = jax.lax.scan(bucket_body, (tinf, tinf), d_pts)
+
+    # combine tiles: S = sum_t V_t + L3 * sum_t PrefixR_t
+    def tile_body(state, inp):
+        prefix, bsum, vsum = state
+        r_t, v_t = inp
+        bsum = group.add(bsum, prefix)
+        prefix = group.add(prefix, r_t)
+        vsum = group.add(vsum, v_t)
+        return (prefix, bsum, vsum), None
+
+    tile_inputs = _tree(lambda a: jnp.moveaxis(a, 1, 0), (running, total))
+    (_, bsum, vsum), _ = jax.lax.scan(tile_body, (winf, winf, winf), tile_inputs)
+    s_w = group.add(vsum, _double_n(group, bsum, int(math.log2(l3))))  # (W,)
+
+    # ---- Horner over windows: acc = 2^c acc + S_w, w = W-1 .. 0 ----
+    s_rev = _tree(lambda a: jnp.flip(a, axis=0), s_w)
+    acc0 = group.infinity(())
+
+    def horner_body(acc, s):
+        acc = _double_n(group, acc, c)
+        return group.add(acc, s), None
+
+    acc, _ = jax.lax.scan(horner_body, acc0, s_rev)
+    return acc
+
+
+def msm_mont(group, scalars_mont: jnp.ndarray, points, **kw):
+    """MSM with scalars given in Montgomery form of ``group.scalar_spec``."""
+    plain = F.from_mont(group.scalar_spec, scalars_mont)
+    return msm(group, plain, points, **kw)
+
+
+def scalars_from_ints(spec, ints) -> jnp.ndarray:
+    """Python ints -> plain (N, L) limb array for msm()."""
+    return F.from_ints(spec, list(ints), mont=False)
