@@ -315,6 +315,52 @@ class EdwardsGroup:
 
 
 # ---------------------------------------------------------------------------
+# host <-> device helpers
+# ---------------------------------------------------------------------------
+
+
+def affine_from_ints(group, triples):
+    """[(x, y, inf)] python-int affine points -> device (x, y, inf) arrays."""
+    import numpy as np
+
+    from . import field as F
+
+    f = group.fops
+    spec = f.spec
+    xs = [t[0] for t in triples]
+    ys = [t[1] for t in triples]
+    infs = np.asarray([bool(t[2]) for t in triples])
+    if f.elem_ndim == 1:
+        x = F.from_ints(spec, xs)
+        y = F.from_ints(spec, ys)
+    else:
+        x = jnp.stack(
+            [jnp.stack([F.from_ints(spec, c0), F.from_ints(spec, c1)]) for c0, c1 in xs]
+        )
+        y = jnp.stack(
+            [jnp.stack([F.from_ints(spec, c0), F.from_ints(spec, c1)]) for c0, c1 in ys]
+        )
+    return (x, y, jnp.asarray(infs))
+
+
+def scalar_bits(k: int, nbits: int | None = None):
+    """MSB-first bit array of k (numpy, static)."""
+    import numpy as np
+
+    nbits = nbits or max(1, int(k).bit_length())
+    return np.array([(k >> i) & 1 for i in reversed(range(nbits))], np.uint32)
+
+
+def scalar_mul_int(group, p, k: int):
+    """p * k for a python-int scalar (single point).
+
+    Always uses a 256-bit scan so every call shares one compiled program.
+    """
+    k = int(k) % group.scalar_spec.modulus
+    return group.scalar_mul(p, scalar_bits(k, 256))
+
+
+# ---------------------------------------------------------------------------
 # Instances
 # ---------------------------------------------------------------------------
 

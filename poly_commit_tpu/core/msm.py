@@ -246,6 +246,51 @@ def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | 
     return acc
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def fixed_base_mul(group, base, scalars: jnp.ndarray):
+    """Batch fixed-base multiplication: [s_0 * G, s_1 * G, ...].
+
+    Replaces arkworks' ``batch_mul`` / ``BatchMulPreprocessing``
+    (kzg10/mod.rs:76-104, SRS generation). Windowed c=8 table built with two
+    trace-once scans; application is 32 batched gather+add steps over N.
+
+    base: projective single point. scalars: (N, 16) plain limbs.
+    Returns projective points with batch (N,).
+    """
+    c = 8
+    w_count = SCALAR_BITS // c
+    n = scalars.shape[0]
+
+    # window digits (N,) per window
+    digs = _digits(scalars, c)  # (W, N)
+
+    d_range = jnp.arange(1 << c, dtype=jnp.uint32)
+    ent_inf = group.infinity(((1 << c),))
+
+    def build_body(b_w, _):
+        m = b_w
+        acc = ent_inf
+        for b in range(c):
+            bit = ((d_range >> b) & 1).astype(bool)
+            m_b = _tree(lambda a: jnp.broadcast_to(a, ((1 << c),) + a.shape), m)
+            acc = group.select(bit, group.add(acc, m_b), acc)
+            m = group.double(m)
+        return m, acc  # carry 2^c * b_w; emit the 256-entry row
+
+    _, table = jax.lax.scan(build_body, base, None, length=w_count)
+    # table coords: (W, 256, ...)
+
+    acc0 = group.infinity((n,))
+
+    def apply_body(acc, inp):
+        row, dig = inp
+        g = _tree(lambda a: jnp.take(a, dig, axis=0), row)
+        return group.add(acc, g), None
+
+    acc, _ = jax.lax.scan(apply_body, acc0, (table, digs))
+    return acc
+
+
 def msm_mont(group, scalars_mont: jnp.ndarray, points, **kw):
     """MSM with scalars given in Montgomery form of ``group.scalar_spec``."""
     plain = F.from_mont(group.scalar_spec, scalars_mont)

@@ -1,0 +1,280 @@
+"""Labeled data types and the PolynomialCommitment protocol.
+
+Mirrors the reference's L1 abstraction (poly-commit/src/lib.rs:164-577 and
+data_structures.rs): labeled polynomials/commitments, query sets, linear
+combinations, and a scheme-generic base class whose ``batch_open`` /
+``batch_check`` / ``open_combinations`` / ``check_combinations`` defaults
+group queries by point and reduce to per-point ``open``/``check`` — exactly
+the default impls at lib.rs:269-576.
+
+TPU-first shape: polynomials are device limb arrays (Montgomery form) plus
+host metadata; the protocol functions are plain Python orchestrating jitted
+kernels (MSM, NTT, folds). Randomness is an explicit seeded host RNG.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from ..core import field as F
+from ..core.field_params import FieldSpec
+from ..core.transcript import PoseidonSponge
+from . import errors
+
+# ---------------------------------------------------------------------------
+# randomness (replaces OptionalRng, optional_rng.rs:10-50)
+# ---------------------------------------------------------------------------
+
+
+class HostRng:
+    """Deterministic seeded host RNG producing field elements."""
+
+    def __init__(self, seed: int = 0):
+        self._r = random.Random(seed)
+
+    def field_int(self, spec: FieldSpec) -> int:
+        return self._r.getrandbits(spec.num_bits + 64) % spec.modulus
+
+    def field_ints(self, spec: FieldSpec, n: int):
+        return [self.field_int(spec) for _ in range(n)]
+
+    def field_elems(self, spec: FieldSpec, n: int) -> jnp.ndarray:
+        return F.from_ints(spec, self.field_ints(spec, n))
+
+    def u128(self) -> int:
+        return self._r.getrandbits(128)
+
+    def randint(self, lo, hi):
+        return self._r.randint(lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# labeled types (data_structures.rs:109-222, 226-383)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LabeledPolynomial:
+    """A polynomial with label, optional degree bound and hiding bound.
+
+    ``poly`` is scheme-family dependent: (D+1, L) Montgomery coefficients for
+    univariate schemes; (2^nv, L) evaluation tables (or scheme structs) for
+    multilinear/multivariate ones.
+    """
+
+    label: str
+    poly: Any
+    degree_bound: Optional[int] = None
+    hiding_bound: Optional[int] = None
+    num_vars: Optional[int] = None
+
+    def degree(self) -> int:
+        return int(self.poly.shape[0]) - 1
+
+
+@dataclasses.dataclass
+class LabeledCommitment:
+    label: str
+    commitment: Any
+    degree_bound: Optional[int] = None
+
+
+@dataclasses.dataclass
+class LinearCombination:
+    """label + [(coeff_int, term)] with term 'one' or a polynomial label
+    (data_structures.rs:289-383)."""
+
+    label: str
+    terms: list  # [(int, str)] where str == "one" or a poly label
+
+    def poly_labels(self):
+        return [t for _, t in self.terms if t != "one"]
+
+
+# QuerySet: {(poly_label, (point_label, point_int_or_tuple))} (lib.rs:152)
+# Evaluations: {(poly_label, point_key): value_int} (lib.rs:158)
+
+
+def evaluate_query_set(spec: FieldSpec, polys, query_set, eval_fn):
+    """lib.rs:583-602 — evaluate each queried polynomial at its points."""
+    by_label = {p.label: p for p in polys}
+    out = {}
+    for (label, (_, point)) in sorted(query_set, key=_qs_key):
+        p = by_label[label]
+        out[(label, _pt_key(point))] = eval_fn(p, point)
+    return out
+
+
+def lc_query_set_to_poly_query_set(linear_combinations, query_set):
+    """lib.rs:623-640 — expand LC queries into per-polynomial queries."""
+    lcs = {lc.label: lc for lc in linear_combinations}
+    poly_qs = set()
+    for (lc_label, (point_label, point)) in query_set:
+        lc = lcs.get(lc_label)
+        if lc is not None:
+            for (_, term) in lc.terms:
+                if term != "one":
+                    poly_qs.add((term, (point_label, _pt_key(point))))
+    return poly_qs
+
+
+def _pt_key(point):
+    return tuple(point) if isinstance(point, (list, tuple)) else point
+
+
+def _qs_key(entry):
+    label, (point_label, _) = entry
+    return (label, point_label)
+
+
+# ---------------------------------------------------------------------------
+# the protocol (lib.rs:164-577)
+# ---------------------------------------------------------------------------
+
+
+class PolynomialCommitment:
+    """Scheme base class. Subclasses define scalar ``spec`` and implement
+    setup/trim/commit/open/check; the batch and LC defaults below mirror
+    lib.rs:269-358 (batch_open), :373-441 (batch_check), :445-485
+    (open_combinations), :489-576 (check_combinations).
+    """
+
+    spec: FieldSpec  # scalar field
+
+    # -- required scheme interface -------------------------------------
+    @classmethod
+    def setup(cls, max_degree, num_vars=None, rng=None):
+        raise NotImplementedError
+
+    @classmethod
+    def trim(cls, pp, supported_degree, supported_hiding_bound=0, enforced_degree_bounds=None):
+        raise NotImplementedError
+
+    @classmethod
+    def commit(cls, ck, polynomials, rng=None):
+        raise NotImplementedError
+
+    @classmethod
+    def open(cls, ck, polynomials, commitments, point, sponge, states, rng=None):
+        raise NotImplementedError
+
+    @classmethod
+    def check(cls, vk, commitments, point, values, proof, sponge):
+        raise NotImplementedError
+
+    # -- evaluation hook (scheme family dependent) ----------------------
+    @classmethod
+    def evaluate_poly(cls, labeled_poly, point):
+        from ..core import poly as P
+
+        return F.to_ints(
+            cls.spec,
+            P.evaluate(cls.spec, labeled_poly.poly, F.from_ints(cls.spec, point)),
+        )
+
+    # -- defaults --------------------------------------------------------
+    @classmethod
+    def batch_open(cls, ck, polynomials, commitments, query_set, sponge, states, rng=None):
+        """Group the query set by point; one ``open`` per point (lib.rs:269)."""
+        polys = {p.label: p for p in polynomials}
+        comms = {c.label: c for c in commitments}
+        sts = {p.label: s for p, s in zip(polynomials, states)}
+        grouped = _group_queries(query_set)
+
+        values = {}
+        proofs = []
+        for (point_label, point), labels in grouped:
+            q_polys, q_comms, q_states = [], [], []
+            for label in labels:
+                if label not in polys:
+                    raise errors.MissingPolynomial(label)
+                q_polys.append(polys[label])
+                q_comms.append(comms[label])
+                q_states.append(sts[label])
+                values[(label, _pt_key(point))] = cls.evaluate_poly(polys[label], point)
+            proof = cls.open(ck, q_polys, q_comms, point, sponge, q_states, rng)
+            proofs.append(proof)
+        return proofs, values
+
+    @classmethod
+    def batch_check(cls, vk, commitments, query_set, evaluations, proofs, sponge):
+        """lib.rs:373-441: replay the same grouping; one ``check`` per point."""
+        comms = {c.label: c for c in commitments}
+        grouped = _group_queries(query_set)
+        assert len(grouped) == len(proofs)
+        ok = True
+        for ((point_label, point), labels), proof in zip(grouped, proofs):
+            q_comms, q_values = [], []
+            for label in labels:
+                if label not in comms:
+                    raise errors.MissingPolynomial(label)
+                key = (label, _pt_key(point))
+                if key not in evaluations:
+                    raise errors.MissingEvaluation(str(key))
+                q_comms.append(comms[label])
+                q_values.append(evaluations[key])
+            ok = ok and bool(cls.check(vk, q_comms, point, q_values, proof, sponge))
+        return ok
+
+    @classmethod
+    def open_combinations(cls, ck, linear_combinations, polynomials, commitments,
+                          eqn_query_set, sponge, states, rng=None):
+        """lib.rs:445-485 default: open the constituent polynomials."""
+        poly_query_set = lc_query_set_to_poly_query_set(linear_combinations, eqn_query_set)
+        poly_evals = evaluate_query_set(
+            cls.spec, polynomials, poly_query_set, cls.evaluate_poly
+        )
+        proofs, _ = cls.batch_open(
+            ck, polynomials, commitments, poly_query_set, sponge, states, rng
+        )
+        return (proofs, poly_evals)
+
+    @classmethod
+    def check_combinations(cls, vk, linear_combinations, commitments, eqn_query_set,
+                           eqn_evaluations, proof_and_evals, sponge):
+        """lib.rs:489-576 default: check LC values then verify constituents."""
+        proofs, poly_evals = proof_and_evals
+        lcs = {lc.label: lc for lc in linear_combinations}
+        p = cls.spec.modulus
+        # verify each claimed LC evaluation against constituent evaluations
+        for (lc_label, (point_label, point)) in sorted(eqn_query_set, key=_qs_key):
+            lc = lcs.get(lc_label)
+            if lc is None:
+                raise errors.MissingPolynomial(lc_label)
+            key = (lc_label, _pt_key(point))
+            if key not in eqn_evaluations:
+                raise errors.MissingLHSEval(str(key))
+            claimed = eqn_evaluations[key] % p
+            actual = 0
+            for coeff, term in lc.terms:
+                if term == "one":
+                    actual = (actual + coeff) % p
+                else:
+                    pk = (term, _pt_key(point))
+                    if pk not in poly_evals:
+                        raise errors.MissingEvaluation(str(pk))
+                    actual = (actual + coeff * poly_evals[pk]) % p
+            if actual != claimed:
+                return False
+        poly_query_set = lc_query_set_to_poly_query_set(linear_combinations, eqn_query_set)
+        return cls.batch_check(vk, commitments, poly_query_set, poly_evals, proofs, sponge)
+
+
+def _group_queries(query_set):
+    """Group a query set by (point_label, point); deterministic order
+    (BTree semantics of lib.rs:152)."""
+    grouped = {}
+    for (label, (point_label, point)) in query_set:
+        grouped.setdefault((point_label, _pt_key(point)), []).append(label)
+    out = []
+    for key in sorted(grouped, key=lambda k: str(k[0])):
+        out.append(((key[0], key[1]), sorted(grouped[key])))
+    return out
+
+
+def fresh_sponge(spec: FieldSpec) -> PoseidonSponge:
+    return PoseidonSponge(spec)
