@@ -82,7 +82,6 @@ def _double_n(group, p, n: int):
     return p
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | None = None):
     """MSM: sum_i scalars[i] * points[i].
 
@@ -90,7 +89,27 @@ def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | 
     scalars: (N, 16) uint32 plain (non-Montgomery) little-endian 16-bit limbs.
     points:  affine (x, y, inf_mask) with leading batch axis N.
     Returns a projective point (group's native representation, batch ()).
+
+    N is padded up to a power of two (infinity points, zero scalars) so the
+    whole framework shares ONE compiled program per (group, log2 N, c, lanes)
+    instead of one per exact size.
     """
+    n0 = scalars.shape[0]
+    n_pow2 = 1 << max(0, (n0 - 1).bit_length())
+    if n_pow2 != n0:
+        x, y, inf = points
+        scalars = jnp.pad(scalars, ((0, n_pow2 - n0), (0, 0)))
+        zpad = [(0, n_pow2 - n0)] + [(0, 0)] * (x.ndim - 1)
+        points = (
+            jnp.pad(x, zpad),
+            jnp.pad(y, zpad),
+            jnp.pad(inf, [(0, n_pow2 - n0)], constant_values=True),
+        )
+    return _msm_impl(group, scalars, points, c, lanes)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _msm_impl(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | None = None):
     x, y, inf = points
     n = scalars.shape[0]
     c, t_lanes = _pick_params(n, c, lanes)
@@ -246,8 +265,20 @@ def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | 
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=0)
 def fixed_base_mul(group, base, scalars: jnp.ndarray):
+    """Power-of-two-padded wrapper (one compiled program per log2 N)."""
+    n0 = scalars.shape[0]
+    n_pow2 = 1 << max(0, (n0 - 1).bit_length())
+    if n_pow2 != n0:
+        scalars = jnp.pad(scalars, ((0, n_pow2 - n0), (0, 0)))
+    out = _fixed_base_mul_impl(group, base, scalars)
+    if n_pow2 != n0:
+        out = jax.tree_util.tree_map(lambda a: a[:n0], out)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fixed_base_mul_impl(group, base, scalars: jnp.ndarray):
     """Batch fixed-base multiplication: [s_0 * G, s_1 * G, ...].
 
     Replaces arkworks' ``batch_mul`` / ``BatchMulPreprocessing``

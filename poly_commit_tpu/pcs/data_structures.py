@@ -48,6 +48,9 @@ class HostRng:
     def u128(self) -> int:
         return self._r.getrandbits(128)
 
+    def u64(self) -> int:
+        return self._r.getrandbits(64)
+
     def randint(self, lo, hi):
         return self._r.randint(lo, hi)
 

@@ -277,16 +277,8 @@ def batch_check(vk: VerifierKey, comms, points, values, proofs, rng: HostRng) ->
             gg_mult = (gg_mult + r * pf.random_v) % SPEC.modulus
     ga = C.affine_from_ints(G1, [_host_aff(vk.g)])
     gga = C.affine_from_ints(G1, [_host_aff(vk.gamma_g)])
-    def _pad_list(pts, sc):
-        while len(pts) % 8:
-            pts.append((0, 1, True))
-            sc.append(0)
-        return pts, sc
-
-    c_pts, c_sc = _pad_list(c_pts, c_sc)
-    w_pts, w_sc = _pad_list(w_pts, w_sc)
     c_pts_d = C.affine_from_ints(G1, c_pts)
-    total_c = M.msm(G1, M.scalars_from_ints(SPEC, c_sc), c_pts_d, 8, 4)
+    total_c = M.msm(G1, M.scalars_from_ints(SPEC, c_sc), c_pts_d)
     total_c = G1.add(
         total_c, G1.neg(C.scalar_mul_int(G1, _first(ga), g_mult))
     )
@@ -294,7 +286,7 @@ def batch_check(vk: VerifierKey, comms, points, values, proofs, rng: HostRng) ->
         total_c, G1.neg(C.scalar_mul_int(G1, _first(gga), gg_mult))
     )
     w_pts_d = C.affine_from_ints(G1, w_pts)
-    total_w = M.msm(G1, M.scalars_from_ints(SPEC, w_sc), w_pts_d, 8, 4)
+    total_w = M.msm(G1, M.scalars_from_ints(SPEC, w_sc), w_pts_d)
     return _pairing_product_is_one(
         [total_c, G1.neg(total_w)], [_as_proj_g2(vk.h), _as_proj_g2(vk.beta_h)]
     )
@@ -331,19 +323,56 @@ def _host_aff(aff_single):
     return device_point_to_ints(G1, _as_proj(aff_single))
 
 
+def pairing_backend() -> str:
+    """'device' (core/pairing.py kernels) or 'host' (core/host_pairing.py).
+
+    The pairing is O(1)/latency-bound; on CPU hosts exact big-int math beats
+    emulated-limb XLA by orders of magnitude, so default host off-TPU.
+    Override with POLY_COMMIT_PAIRING={host,device}.
+    """
+    import os
+
+    env = os.environ.get("POLY_COMMIT_PAIRING")
+    if env in ("host", "device"):
+        return env
+    import jax
+
+    return "device" if jax.default_backend() == "tpu" else "host"
+
+
+def pairing_product_is_one_host(g1_triples, g2_triples) -> bool:
+    """prod e(P_i, Q_i) == 1 from host int triples; dispatches backends."""
+    if pairing_backend() == "host":
+        from ..core import host_pairing as HP
+
+        return HP.pairing_product_is_one(g1_triples, g2_triples)
+    p_aff = C.affine_from_ints(G1, g1_triples)
+    q_aff = C.affine_from_ints(G2, g2_triples)
+    return pairing_check_padded(p_aff, q_aff)
+
+
 def _pairing_product_is_one(g1_projs, g2_projs) -> bool:
-    xs, ys, infs = [], [], []
-    for p in g1_projs:
-        x, y, i = G1.to_affine(p)
-        xs.append(x)
-        ys.append(y)
-        infs.append(i)
-    qx, qy, qi = [], [], []
-    for q in g2_projs:
-        x, y, i = G2.to_affine(q)
-        qx.append(x)
-        qy.append(y)
-        qi.append(i)
-    p_aff = (jnp.stack(xs), jnp.stack(ys), jnp.stack(infs))
-    q_aff = (jnp.stack(qx), jnp.stack(qy), jnp.stack(qi))
+    from ..core.serialize import device_point_to_ints
+
+    g1s = [device_point_to_ints(G1, p) for p in g1_projs]
+    g2s = [device_point_to_ints(G2, q) for q in g2_projs]
+    return pairing_product_is_one_host(g1s, g2s)
+
+
+def pairing_check_padded(p_aff, q_aff, multiple: int = 4) -> bool:
+    """pairing_check with the pair axis padded to a multiple (infinity pairs
+    contribute f = 1) so every scheme shares a handful of compiled programs."""
+    n = p_aff[0].shape[0]
+    padn = (-n) % multiple
+    if padn:
+        def padf(a):
+            return jnp.concatenate([a, jnp.zeros((padn,) + a.shape[1:], a.dtype)], 0)
+
+        def pad_pt(t):
+            x, y, inf = t
+            inf = jnp.concatenate([inf, jnp.ones((padn,), bool)], 0)
+            return (padf(x), padf(y), inf)
+
+        p_aff = pad_pt(p_aff)
+        q_aff = pad_pt(q_aff)
     return bool(np.asarray(PR.pairing_check(p_aff, q_aff)))

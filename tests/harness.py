@@ -157,3 +157,57 @@ def run_equation_template(
         vk, lcs, comms, query_set, eqn_evals, proof_and_evals, sponge2
     )
     return bool(ok)
+
+
+def rand_ml_poly(PC, rng: HostRng, num_vars: int):
+    """Random multilinear evaluation table (2^nv, L) in Montgomery form."""
+    return F.from_ints(PC.spec, rng.field_ints(PC.spec, 1 << num_vars))
+
+
+def run_ml_template(
+    PC,
+    *,
+    num_vars=4,
+    num_polys=2,
+    num_points=2,
+    hiding=True,
+    seed=7,
+    corrupt_value=False,
+    setup_kw=None,
+):
+    """Multilinear analogue of run_template: points are nv-tuples."""
+    rng = HostRng(seed)
+    pp = PC.setup(0, num_vars=num_vars, rng=rng)
+    ck, vk = PC.trim(pp, 0, num_points if hiding else 0, None)
+
+    polys = [
+        LabeledPolynomial(
+            label=f"poly_{i}",
+            poly=rand_ml_poly(PC, rng, num_vars),
+            hiding_bound=num_points if hiding else None,
+            num_vars=num_vars,
+        )
+        for i in range(num_polys)
+    ]
+    comms, states = PC.commit(ck, polys, rng)
+
+    query_set = set()
+    points = [
+        tuple(rng.field_int(PC.spec) for _ in range(num_vars))
+        for _ in range(num_points)
+    ]
+    for pi, point in enumerate(points):
+        for lp in polys:
+            query_set.add((lp.label, (f"pt_{pi}", point)))
+
+    sponge = PoseidonSponge(PC.spec)
+    proofs, values = PC.batch_open(ck, polys, comms, query_set, sponge, states, rng)
+
+    if corrupt_value:
+        k = sorted(values)[0]
+        values = dict(values)
+        values[k] = (values[k] + 1) % PC.spec.modulus
+
+    sponge2 = PoseidonSponge(PC.spec)
+    ok = PC.batch_check(vk, comms, query_set, values, proofs, sponge2)
+    return bool(ok)
