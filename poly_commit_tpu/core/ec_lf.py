@@ -1,0 +1,292 @@
+"""Limbs-first Weierstrass (Jacobian) group ops as fused Pallas kernels.
+
+Each EC operation (mixed add, full add, double) is ONE Pallas kernel over
+(L, N) coordinate blocks: the entire ~30-field-op formula stays in
+VMEM/vregs, so HBM traffic per point is just the input/output coordinates
+(~0.9KB) instead of ~30 round trips. CPU fallback jits the same formula
+graph. Formulas are the same EFD ones as core/curve.py (dbl-2009-l,
+add-2007-bl, madd-2007-bl) with complete edge handling via selects.
+
+Points: pytrees (x, y, z) of (L, N) uint32 limb arrays (Jacobian, z==0 at
+infinity). Only prime-field curves with R >= 4p (BLS12-381/377 G1, BN254 G1)
+are supported — this is the MSM hot path (core/msm_tpu.py); other curves
+stay on core/curve.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ff
+from .field_params import FieldSpec
+
+_TILE = 512
+
+
+def _formula_madd(spec, rows_in):
+    """madd-2007-bl with edge selects. rows_in: 8 coord row-lists."""
+    x1, y1, z1, x2, y2 = rows_in[:5]
+    mul = lambda a, b: ff._mont_mul_rows(spec, a, b)
+    add = lambda a, b: ff._add_rows(spec, a, b)
+    sub = lambda a, b: ff._sub_rows(spec, a, b)
+
+    z1z1 = mul(z1, z1)
+    u2 = mul(x2, z1z1)
+    s2 = mul(mul(y2, z1), z1z1)
+    h = sub(u2, x1)
+    hh = mul(h, h)
+    i = add(add(hh, hh), add(hh, hh))
+    j = mul(h, i)
+    r0 = sub(s2, y1)
+    r = add(r0, r0)
+    v = mul(x1, i)
+    r2 = mul(r, r)
+    x3 = sub(sub(r2, j), add(v, v))
+    y3 = sub(mul(r, sub(v, x3)), add(mul(y1, j), mul(y1, j)))
+    z1h = add(z1, h)
+    z3 = sub(sub(mul(z1h, z1h), z1z1), hh)
+
+    # -- doubling branch (dbl-2009-l on (x1, y1, z1)) --
+    a = mul(x1, x1)
+    b = mul(y1, y1)
+    c = mul(b, b)
+    xb = add(x1, b)
+    d0 = sub(sub(mul(xb, xb), a), c)
+    d = add(d0, d0)
+    e = add(add(a, a), a)
+    f = mul(e, e)
+    dx = sub(f, add(d, d))
+    c2 = add(c, c)
+    c4 = add(c2, c2)
+    c8 = add(c4, c4)
+    dy = sub(mul(e, sub(d, dx)), c8)
+    dz0 = mul(y1, z1)
+    dz = add(dz0, dz0)
+
+    h_zero = ff_is_zero_rows(spec, h)
+    r_zero = ff_is_zero_rows(spec, r0)
+    p_inf = ff_is_zero_rows(spec, z1)
+
+    both = h_zero & r_zero
+    neg = h_zero & ~r_zero
+
+    def pick(dbl_v, main_v, fresh_v, zero_v):
+        out = [jnp.where(both, dv, mv) for dv, mv in zip(dbl_v, main_v)]
+        out = [jnp.where(neg, zv, ov) for zv, ov in zip(zero_v, out)]
+        return [jnp.where(p_inf, fv, ov) for fv, ov in zip(fresh_v, out)]
+
+    zero_rows = [jnp.zeros_like(r) for r in x1]
+    one_rows = ff_one_rows(spec, x1[0].shape)
+
+    x_out = pick(dx, x3, x2, zero_rows)
+    y_out = pick(dy, y3, y2, one_rows)
+    z_out = pick(dz, z3, one_rows, zero_rows)
+    return x_out + y_out + z_out  # concatenated row lists
+
+
+def _formula_add(spec, rows_in):
+    """add-2007-bl (Jacobian + Jacobian) with edge selects."""
+    x1, y1, z1, x2, y2, z2 = rows_in
+    mul = lambda a, b: ff._mont_mul_rows(spec, a, b)
+    add = lambda a, b: ff._add_rows(spec, a, b)
+    sub = lambda a, b: ff._sub_rows(spec, a, b)
+
+    z1z1 = mul(z1, z1)
+    z2z2 = mul(z2, z2)
+    u1 = mul(x1, z2z2)
+    u2 = mul(x2, z1z1)
+    s1 = mul(mul(y1, z2), z2z2)
+    s2 = mul(mul(y2, z1), z1z1)
+    h = sub(u2, u1)
+    h2 = add(h, h)
+    i = mul(h2, h2)
+    j = mul(h, i)
+    r0 = sub(s2, s1)
+    r = add(r0, r0)
+    v = mul(u1, i)
+    r2 = mul(r, r)
+    x3 = sub(sub(r2, j), add(v, v))
+    s1j = mul(s1, j)
+    y3 = sub(mul(r, sub(v, x3)), add(s1j, s1j))
+    z12 = add(z1, z2)
+    z3 = mul(sub(sub(mul(z12, z12), z1z1), z2z2), h)
+
+    # doubling branch on (x1, y1, z1)
+    a = mul(x1, x1)
+    b = mul(y1, y1)
+    c = mul(b, b)
+    xb = add(x1, b)
+    d0 = sub(sub(mul(xb, xb), a), c)
+    d = add(d0, d0)
+    e = add(add(a, a), a)
+    f = mul(e, e)
+    dx = sub(f, add(d, d))
+    c2 = add(c, c)
+    c8 = add(add(c2, c2), add(c2, c2))
+    dy = sub(mul(e, sub(d, dx)), c8)
+    dz0 = mul(y1, z1)
+    dz = add(dz0, dz0)
+
+    h_zero = ff_is_zero_rows(spec, h)
+    r_zero = ff_is_zero_rows(spec, r0)
+    p_inf = ff_is_zero_rows(spec, z1)
+    q_inf = ff_is_zero_rows(spec, z2)
+    both = h_zero & r_zero & ~p_inf & ~q_inf
+    neg = h_zero & ~r_zero & ~p_inf & ~q_inf
+
+    zero_rows = [jnp.zeros_like(r) for r in x1]
+    one_rows = ff_one_rows(spec, x1[0].shape)
+
+    def pick(main_v, dbl_v, a_v, b_v, zero_v):
+        out = [jnp.where(both, dv, mv) for dv, mv in zip(dbl_v, main_v)]
+        out = [jnp.where(neg, zv, ov) for zv, ov in zip(zero_v, out)]
+        out = [jnp.where(q_inf, av, ov) for av, ov in zip(a_v, out)]
+        return [jnp.where(p_inf, bv, ov) for bv, ov in zip(b_v, out)]
+
+    x_out = pick(x3, dx, x1, x2, zero_rows)
+    y_out = pick(y3, dy, y1, y2, one_rows)
+    z_out = pick(z3, dz, z1, z2, zero_rows)
+    return x_out + y_out + z_out
+
+
+def _formula_double(spec, rows_in):
+    x1, y1, z1 = rows_in
+    mul = lambda a, b: ff._mont_mul_rows(spec, a, b)
+    add = lambda a, b: ff._add_rows(spec, a, b)
+    sub = lambda a, b: ff._sub_rows(spec, a, b)
+    a = mul(x1, x1)
+    b = mul(y1, y1)
+    c = mul(b, b)
+    xb = add(x1, b)
+    d0 = sub(sub(mul(xb, xb), a), c)
+    d = add(d0, d0)
+    e = add(add(a, a), a)
+    f = mul(e, e)
+    dx = sub(f, add(d, d))
+    c2 = add(c, c)
+    c8 = add(add(c2, c2), add(c2, c2))
+    dy = sub(mul(e, sub(d, dx)), c8)
+    dz0 = mul(y1, z1)
+    dz = add(dz0, dz0)
+    return dx + dy + dz
+
+
+def ff_is_zero_rows(spec, rows):
+    """rows (< 2p, canonical limbs) represent 0 iff == 0 or == p."""
+    p_l, _, _, _ = ff.consts(spec)
+    z = None
+    ep = None
+    for i, r in enumerate(rows):
+        zi = r == 0
+        ei = r == np.uint32(p_l[i])
+        z = zi if z is None else (z & zi)
+        ep = ei if ep is None else (ep & ei)
+    return z | ep
+
+
+def ff_one_rows(spec, shape):
+    _, _, _, r_l = ff.consts(spec)
+    return [jnp.full(shape, int(v), jnp.uint32) for v in r_l]
+
+
+_FORMULAS = {
+    "madd": (_formula_madd, 5),
+    "add": (_formula_add, 6),
+    "double": (_formula_double, 3),
+}
+
+
+@functools.lru_cache(maxsize=64)
+def _ec_fn(spec: FieldSpec, which: str, n: int, use_pallas: bool):
+    builder, n_in = _FORMULAS[which]
+    L = spec.n_limbs
+
+    def graph(*coords):
+        rows_in = [ff._rows(c) for c in coords]
+        out_rows = builder(spec, rows_in)
+        outs = []
+        for k in range(3):
+            outs.append(jnp.stack(out_rows[k * L : (k + 1) * L], 0))
+        return tuple(outs)
+
+    if not use_pallas:
+        return jax.jit(graph)
+
+    from jax.experimental import pallas as pl
+
+    tile = min(_TILE, n & -n)
+
+    def kernel(*refs):
+        ins = refs[:n_in]
+        outs = refs[n_in:]
+        res = graph(*[r[:, :] for r in ins])
+        for o_ref, val in zip(outs, res):
+            o_ref[:, :] = val
+
+    def run(*coords):
+        grid = n // tile
+        return pl.pallas_call(
+            kernel,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((L, n), jnp.uint32) for _ in range(3)
+            ),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((L, tile), lambda i: (0, i))] * n_in,
+            out_specs=tuple(pl.BlockSpec((L, tile), lambda i: (0, i)) for _ in range(3)),
+        )(*coords)
+
+    return jax.jit(run)
+
+
+def _dispatch(spec, which, *coords):
+    n = coords[0].shape[1]
+    use_pallas = ff._use_pallas()
+    if use_pallas and (n % 128 or n < 128):
+        # pad lanes to a multiple of 128 so every size hits the Pallas path
+        padn = (-n) % 128 if n >= 128 else 128 - n
+        coords = tuple(jnp.pad(c, ((0, 0), (0, padn))) for c in coords)
+        out = _ec_fn(spec, which, n + padn, True)(*coords)
+        return tuple(o[:, :n] for o in out)
+    return _ec_fn(spec, which, n, use_pallas)(*coords)
+
+
+# -- public API: points are (x, y, z) tuples of (L, N) arrays ---------------
+
+
+def madd(spec, p, xq, yq):
+    """Jacobian p + affine (xq, yq); complete (handles inf/dbl/neg)."""
+    return _dispatch(spec, "madd", p[0], p[1], p[2], xq, yq)
+
+
+def add(spec, p, q):
+    return _dispatch(spec, "add", p[0], p[1], p[2], q[0], q[1], q[2])
+
+
+def double(spec, p):
+    return _dispatch(spec, "double", p[0], p[1], p[2])
+
+
+def select(mask, p, q):
+    return tuple(ff.select(mask, a, b) for a, b in zip(p, q))
+
+
+def infinity(spec, n: int):
+    return (ff.zeros(spec, n), ff.one_mont(spec, n), ff.zeros(spec, n))
+
+
+def from_affine(spec, x, y, inf_mask=None):
+    n = x.shape[1]
+    z = ff.one_mont(spec, n)
+    if inf_mask is not None:
+        z = ff.select(inf_mask, ff.zeros(spec, n), z)
+    return (x, y, z)
+
+
+def is_infinity(spec, p):
+    import numpy as _np
+
+    return ff_is_zero_rows(spec, ff._rows(p[2]))

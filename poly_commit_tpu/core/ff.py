@@ -1,0 +1,348 @@
+"""Limbs-first fast field arithmetic (TPU hot path).
+
+Layout: field elements are (L, N) uint32 arrays — L 16-bit limbs on the
+sublane axis, N batch elements on the 128-lane axis. This is the
+TPU-efficient dual of core/field.py's (..., L) convention: with limbs last,
+the lane dimension is only L=16..24 wide (<=19% lane utilization) and XLA
+materializes (N, L, L) intermediates through HBM; limbs-first keeps lanes
+full and lets one Pallas kernel hold the entire schoolbook + Montgomery
+pipeline in VMEM/vregs.
+
+Range invariant: every element value is < 2p. Montgomery reduction with
+R = 2^(16L) >= 4p maps inputs < 2p to outputs < 2p; add/sub reduce once
+against 2p to restore the invariant. All carry/borrow ripples are unrolled
+(static L steps of fused vector ops — no lax.scan).
+
+Replaces the same arkworks ark-ff backend as core/field.py (SURVEY.md §2.3)
+as the performance path under core/msm_tpu.py; Pallas kernels on TPU with a
+pure-JAX fallback elsewhere (POLY_COMMIT_PALLAS=0/1 overrides).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .field_params import LIMB_BITS, LIMB_MASK, FieldSpec, int_to_limbs
+
+MASK = np.uint32(LIMB_MASK)
+ONE = np.uint32(1)
+B16 = np.uint32(1 << LIMB_BITS)
+
+
+@functools.lru_cache(maxsize=16)
+def consts(spec: FieldSpec):
+    """(p, 2p, -p^-1 mod R, R mod p) limb arrays as numpy (L,) uint32."""
+    L = spec.n_limbs
+    assert 4 * spec.modulus <= spec.R, "range invariant needs R >= 4p"
+    npi = (-pow(spec.modulus, -1, spec.R)) % spec.R
+    return (
+        np.asarray(spec.p_limbs, np.uint32),
+        int_to_limbs(2 * spec.modulus, L).astype(np.uint32),
+        int_to_limbs(npi, L).astype(np.uint32),
+        np.asarray(spec.r_limbs, np.uint32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# building blocks on lists of (N,) rows / (L, N) blocks (shared by the
+# Pallas kernel bodies and the pure-JAX fallback)
+# ---------------------------------------------------------------------------
+
+
+def _carry_rows(cols, n_out):
+    """cols: list of (N,) values < 2^32-2^16 -> n_out 16-bit rows + carry."""
+    out = []
+    c = None
+    for i in range(n_out):
+        s = cols[i] if i < len(cols) and cols[i] is not None else None
+        if c is not None:
+            s = c if s is None else s + c
+        if s is None:
+            out.append(None)
+            c = None
+            continue
+        out.append(s & MASK)
+        c = s >> LIMB_BITS
+    return out, c
+
+
+def _mul_cols(a_rows, b_rows):
+    """Column sums of (sum_i a_i 2^16i)(sum_j b_j 2^16j): shifted AXPYs with
+    immediate lo/hi split; every accumulator < L*2^17 < 2^22."""
+    la, lb = len(a_rows), len(b_rows)
+    b = jnp.stack(b_rows, 0)  # (lb, N)
+    lo_acc = [None] * (la + lb)
+    hi_acc = [None] * (la + lb + 1)
+    for i in range(la):
+        p = a_rows[i][None, :] * b  # (lb, N) exact u32 (inputs < 2^16)
+        lo = p & MASK
+        hi = p >> LIMB_BITS
+        for j in range(lb):
+            k = i + j
+            lo_acc[k] = lo[j] if lo_acc[k] is None else lo_acc[k] + lo[j]
+            hi_acc[k + 1] = hi[j] if hi_acc[k + 1] is None else hi_acc[k + 1] + hi[j]
+    out = []
+    for k in range(la + lb):
+        v, h = lo_acc[k], hi_acc[k]
+        out.append(h if v is None else (v if h is None else v + h))
+    return out
+
+
+def _add_ripple(a_rows, b_rows):
+    """Row lists -> (rows, carry); inputs canonical 16-bit."""
+    cols = []
+    for i in range(max(len(a_rows), len(b_rows))):
+        x = a_rows[i] if i < len(a_rows) else None
+        y = b_rows[i] if i < len(b_rows) else None
+        cols.append(y if x is None else (x if y is None else x + y))
+    return _carry_rows(cols, len(cols))
+
+
+def _sub_ripple(a_rows, b_rows):
+    """a - b with borrow chain; returns (rows, borrow in {0,1})."""
+    out = []
+    borrow = None
+    for i in range(len(a_rows)):
+        bi = b_rows[i] if i < len(b_rows) and b_rows[i] is not None else None
+        s = a_rows[i] + B16
+        if bi is not None:
+            s = s - bi
+        if borrow is not None:
+            s = s - borrow
+        out.append(s & MASK)
+        borrow = ONE - (s >> LIMB_BITS)
+    return out, borrow
+
+
+def _rows(a):
+    return [a[i] for i in range(a.shape[0])]
+
+
+def _reduce_once_rows(spec, rows):
+    """value < 4p -> subtract 2p if possible -> < 2p."""
+    _, twop, _, _ = consts(spec)
+    t_rows = [jnp.full(rows[0].shape, int(v), jnp.uint32) for v in twop]
+    sub_rows, borrow = _sub_ripple(rows, t_rows)
+    keep = borrow.astype(bool)  # borrow => value < 2p, keep original
+    return [jnp.where(keep, r, s) for r, s in zip(rows, sub_rows)]
+
+
+def _mont_mul_rows(spec: FieldSpec, a_rows, b_rows):
+    """Montgomery product; inputs < 2p (canonical limbs) -> output < 2p."""
+    L = spec.n_limbs
+    p_l, _, np_l, _ = consts(spec)
+    shape = a_rows[0].shape
+    np_rows = [jnp.full(shape, int(v), jnp.uint32) for v in np_l]
+    p_rows = [jnp.full(shape, int(v), jnp.uint32) for v in p_l]
+
+    t_cols = _mul_cols(a_rows, b_rows)  # 2L columns
+    t, _ = _carry_rows(t_cols, 2 * L)
+    m_cols = _mul_cols(t[:L], np_rows)
+    m, _ = _carry_rows(m_cols[:L], L)
+    mp_cols = _mul_cols(m, p_rows)  # 2L columns
+    s_cols = [
+        (t[k] if t[k] is not None else None)
+        if (k >= len(mp_cols) or mp_cols[k] is None)
+        else (mp_cols[k] if t[k] is None else t[k] + mp_cols[k])
+        for k in range(2 * L)
+    ]
+    s, carry = _carry_rows(s_cols, 2 * L)
+    # carry out of 2L limbs is impossible: t + m*p < 4p^2 + R*p <= R^2/4 + R^2/4 < R^2
+    hi = s[L:]
+    return hi  # hi < p + 4p^2/R <= 2p given 4p <= R
+
+
+def _add_rows(spec, a_rows, b_rows):
+    s, _ = _add_ripple(a_rows, b_rows)  # < 4p, no top overflow (4p <= R)
+    return _reduce_once_rows(spec, s)
+
+
+def _sub_rows(spec, a_rows, b_rows):
+    """a - b mod 2p-ish: a + 2p - b, reduced once -> < 2p."""
+    _, twop, _, _ = consts(spec)
+    shape = a_rows[0].shape
+    t_rows = [jnp.full(shape, int(v), jnp.uint32) for v in twop]
+    s, _ = _add_ripple(a_rows, t_rows)  # < 4p
+    d, _ = _sub_ripple(s, b_rows)  # b < 2p < s -> no final borrow
+    return _reduce_once_rows(spec, d)
+
+
+# ---------------------------------------------------------------------------
+# public ops on (L, N) arrays
+# ---------------------------------------------------------------------------
+
+_TILE = 1024
+
+
+def _use_pallas() -> bool:
+    import os
+
+    env = os.environ.get("POLY_COMMIT_PALLAS")
+    if env is not None:
+        return env not in ("0", "false")
+    return jax.default_backend() == "tpu"
+
+
+def _block_op(body):
+    """Wrap a rows->rows builder into an (L, N) block function."""
+
+    def fn(spec, a, b):
+        out = body(spec, _rows(a), _rows(b))
+        return jnp.stack(out, 0)
+
+    return fn
+
+
+_mont_block = _block_op(_mont_mul_rows)
+_add_block = _block_op(_add_rows)
+_sub_block = _block_op(_sub_rows)
+
+
+@functools.lru_cache(maxsize=128)
+def _pallas_fn(spec: FieldSpec, which: str, n: int, l_out: int):
+    from jax.experimental import pallas as pl
+
+    body = {"mul": _mont_block, "add": _add_block, "sub": _sub_block}[which]
+    L = spec.n_limbs
+    tile = min(_TILE, n & -n)  # largest pow2 divisor of n, capped
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[:, :] = body(spec, a_ref[:, :], b_ref[:, :])
+
+    def run(a, b):
+        grid = n // tile
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((l_out, n), jnp.uint32),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((L, tile), lambda i: (0, i)),
+                pl.BlockSpec((L, tile), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((l_out, tile), lambda i: (0, i)),
+        )(a, b)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=128)
+def _jax_fn(spec: FieldSpec, which: str):
+    body = {"mul": _mont_block, "add": _add_block, "sub": _sub_block}[which]
+    return jax.jit(functools.partial(body, spec))
+
+
+def _dispatch(spec, which, a, b):
+    n = a.shape[1]
+    if _use_pallas() and (n & -n) >= 128:
+        return _pallas_fn(spec, which, n, spec.n_limbs)(a, b)
+    return _jax_fn(spec, which)(a, b)
+
+
+def mont_mul(spec: FieldSpec, a, b):
+    return _dispatch(spec, "mul", a, b)
+
+
+def add(spec: FieldSpec, a, b):
+    return _dispatch(spec, "add", a, b)
+
+
+def sub(spec: FieldSpec, a, b):
+    return _dispatch(spec, "sub", a, b)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def canonicalize(spec: FieldSpec, a):
+    """values < 2p -> canonical < p (one conditional subtract)."""
+    p_l, _, _, _ = consts(spec)
+    rows = _rows(a)
+    p_rows = [jnp.full(rows[0].shape, int(v), jnp.uint32) for v in p_l]
+    d, borrow = _sub_ripple(rows, p_rows)
+    keep = borrow.astype(bool)
+    return jnp.stack([jnp.where(keep, r, s) for r, s in zip(rows, d)], 0)
+
+
+def mont_sqr(spec: FieldSpec, a):
+    return mont_mul(spec, a, a)
+
+
+def dbl(spec: FieldSpec, a):
+    return add(spec, a, a)
+
+
+def select(mask, a, b):
+    """mask: (N,) bool -> where(mask, a, b) over (L, N)."""
+    return jnp.where(mask[None, :], a, b)
+
+
+def zeros(spec: FieldSpec, n: int):
+    return jnp.zeros((spec.n_limbs, n), jnp.uint32)
+
+
+def one_mont(spec: FieldSpec, n: int):
+    _, _, _, r = consts(spec)
+    return jnp.broadcast_to(jnp.asarray(r)[:, None], (spec.n_limbs, n))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def is_zero(spec: FieldSpec, a):
+    """value ≡ 0 mod p for values < 2p: equals 0 or equals p exactly.
+
+    a's limbs are canonical 16-bit (every public op returns them so), hence
+    integer comparison per limb is exact.
+    """
+    p_l, _, _, _ = consts(spec)
+    z = jnp.all(a == 0, axis=0)
+    pp = jnp.asarray(p_l)[:, None]
+    ep = jnp.all(a == pp, axis=0)
+    return z | ep
+
+
+def eq(spec: FieldSpec, a, b):
+    """a ≡ b mod p (both < 2p)."""
+    d = sub(spec, a, b)
+    return is_zero(spec, d)
+
+
+# ---------------------------------------------------------------------------
+# conversions
+# ---------------------------------------------------------------------------
+
+
+def from_ints(spec: FieldSpec, ints, mont: bool = True):
+    """python ints -> (L, N) canonical Montgomery limbs."""
+    vals = []
+    for v in ints:
+        v = int(v) % spec.modulus
+        if mont:
+            v = v * spec.R % spec.modulus
+        vals.append(int_to_limbs(v, spec.n_limbs))
+    return jnp.asarray(np.stack(vals, axis=1), jnp.uint32)
+
+
+def to_ints(spec: FieldSpec, a, mont: bool = True) -> list:
+    """(L, N) limbs (< 2p) -> canonical python ints."""
+    arr = np.asarray(a, np.uint64)
+    out = []
+    rinv = pow(spec.R, -1, spec.modulus) if mont else 1
+    for i in range(arr.shape[1]):
+        v = 0
+        for j in reversed(range(arr.shape[0])):
+            v = (v << LIMB_BITS) + int(arr[j, i])
+        out.append(v * rinv % spec.modulus)
+    return out
+
+
+def from_field_last(arr):
+    """core/field.py layout (..., L) -> (L, N) flat (same Montgomery form)."""
+    L = arr.shape[-1]
+    return jnp.moveaxis(arr.reshape(-1, L), -1, 0)
+
+
+def to_field_last(arr, batch_shape):
+    """(L, N) -> (batch..., L) core/field.py layout. Caller must ensure the
+    values are < p (canonical) if downstream code assumes it."""
+    return jnp.moveaxis(arr, 0, -1).reshape(tuple(batch_shape) + (arr.shape[0],))

@@ -82,6 +82,25 @@ def _double_n(group, p, n: int):
     return p
 
 
+def _fast_path_ok(group) -> bool:
+    """Limbs-first Pallas path: prime-field Weierstrass curves with R >= 4p,
+    on TPU (or when POLY_COMMIT_FAST_MSM=1 forces the pure-JAX fallback of
+    the same kernels, e.g. for CPU tests)."""
+    import os
+
+    if group.__class__.__name__ != "WeierstrassGroup":
+        return False
+    if getattr(group.fops, "elem_ndim", 0) != 1:
+        return False
+    spec = group.fops.spec
+    if 4 * spec.modulus > spec.R:
+        return False
+    env = os.environ.get("POLY_COMMIT_FAST_MSM")
+    if env is not None:
+        return env not in ("0", "false")
+    return jax.default_backend() == "tpu"
+
+
 def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | None = None):
     """MSM: sum_i scalars[i] * points[i].
 
@@ -93,7 +112,25 @@ def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | 
     N is padded up to a power of two (infinity points, zero scalars) so the
     whole framework shares ONE compiled program per (group, log2 N, c, lanes)
     instead of one per exact size.
+
+    On TPU, supported curves dispatch to the limbs-first fused-Pallas path
+    (core/msm_tpu.py); explicit c/lanes pins the portable kernel (tests).
     """
+    if c is None and lanes is None and _fast_path_ok(group):
+        from . import ff
+        from . import msm_tpu
+
+        spec = group.fops.spec
+        x, y, inf = points
+        out = msm_tpu.msm(
+            spec,
+            scalars,
+            ff.from_field_last(x),
+            ff.from_field_last(y),
+            inf,
+        )
+        # ff keeps values in [0, 2p); downstream field.py assumes < p
+        return tuple(ff.canonicalize(spec, cc)[:, 0] for cc in out)
     n0 = scalars.shape[0]
     n_pow2 = 1 << max(0, (n0 - 1).bit_length())
     if n_pow2 != n0:

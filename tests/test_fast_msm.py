@@ -1,0 +1,108 @@
+"""Limbs-first fast path (core/ff, core/ec_lf, core/msm_tpu): CPU checks of
+the pure-JAX fallback of the same kernels the TPU runs via Pallas."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from poly_commit_tpu.core import ec_lf, ff
+from poly_commit_tpu.core import field_params as FP
+from tests.ref_ec import Fp, RefWeierstrass
+
+SPEC = FP.FQ_BLS12_381
+REF = RefWeierstrass(Fp(FP.BLS12_381_Q), FP.BLS12_381_B)
+GEN = (FP.BLS12_381_G1_X, FP.BLS12_381_G1_Y)
+Q = FP.BLS12_381_Q
+
+
+def _to_host(out):
+    xs = ff.to_ints(SPEC, out[0])
+    ys = ff.to_ints(SPEC, out[1])
+    zs = ff.to_ints(SPEC, out[2])
+    res = []
+    for x, y, z in zip(xs, ys, zs):
+        if z % Q == 0:
+            res.append(None)
+        else:
+            zi = pow(z, -1, Q)
+            res.append((x * zi * zi % Q, y * zi * zi * zi % Q))
+    return res
+
+
+def test_ff_roundtrip_and_ops(rng):
+    ints_a = [int.from_bytes(rng.bytes(48), "little") % Q for _ in range(32)]
+    ints_b = [int.from_bytes(rng.bytes(48), "little") % Q for _ in range(32)]
+    A = ff.from_ints(SPEC, ints_a)
+    B = ff.from_ints(SPEC, ints_b)
+    assert ff.to_ints(SPEC, ff.mont_mul(SPEC, A, B)) == [
+        a * b % Q for a, b in zip(ints_a, ints_b)
+    ]
+    assert ff.to_ints(SPEC, ff.add(SPEC, A, B)) == [
+        (a + b) % Q for a, b in zip(ints_a, ints_b)
+    ]
+    assert ff.to_ints(SPEC, ff.sub(SPEC, A, B)) == [
+        (a - b) % Q for a, b in zip(ints_a, ints_b)
+    ]
+    # chained ops stay in range and correct
+    x = ff.mont_mul(SPEC, A, B)
+    host = [a * b % Q for a, b in zip(ints_a, ints_b)]
+    for _ in range(3):
+        x = ff.mont_mul(SPEC, ff.add(SPEC, x, A), ff.sub(SPEC, x, B))
+        host = [
+            ((h + a) * (h - b)) % Q for h, a, b in zip(host, ints_a, ints_b)
+        ]
+    assert ff.to_ints(SPEC, x) == host
+
+
+def test_ec_lf_ops(rng):
+    n = 32
+    ks = [int(rng.integers(1, 1 << 30)) for _ in range(n)]
+    pts = [REF.mul(GEN, k) for k in ks]
+    qts = [REF.mul(GEN, k + 5) for k in ks]
+    pts[3] = qts[3]  # doubling edge
+    pts[4] = (qts[4][0], (Q - qts[4][1]) % Q)  # negation edge
+    X1 = ff.from_ints(SPEC, [p[0] for p in pts])
+    Y1 = ff.from_ints(SPEC, [p[1] for p in pts])
+    X2 = ff.from_ints(SPEC, [q[0] for q in qts])
+    Y2 = ff.from_ints(SPEC, [q[1] for q in qts])
+    P = ec_lf.from_affine(SPEC, X1, Y1)
+    assert _to_host(ec_lf.madd(SPEC, P, X2, Y2)) == [
+        REF.add(p, q) for p, q in zip(pts, qts)
+    ]
+    assert _to_host(ec_lf.double(SPEC, P)) == [REF.double(p) for p in pts]
+    infmask = np.zeros(n, bool)
+    infmask[5] = True
+    Pinf = ec_lf.select(jnp.asarray(infmask), ec_lf.infinity(SPEC, n), P)
+    Q2 = ec_lf.from_affine(SPEC, X2, Y2)
+    assert _to_host(ec_lf.add(SPEC, Pinf, Q2)) == [
+        REF.add(None if infmask[i] else pts[i], qts[i]) for i in range(n)
+    ]
+
+
+def test_fast_msm_matches_reference(rng):
+    from poly_commit_tpu.core import msm_tpu
+
+    n = 150
+    ks = [int(rng.integers(1, 1 << 30)) for _ in range(n)]
+    pts = [REF.mul(GEN, k) for k in ks]
+    scal = [int.from_bytes(rng.bytes(40), "little") % FP.BLS12_381_R for _ in range(n)]
+    scal[0] = 0
+    pts[1] = pts[2]
+    scal[1] = scal[2]
+    X = ff.from_ints(SPEC, [p[0] for p in pts])
+    Y = ff.from_ints(SPEC, [p[1] for p in pts])
+    sc = np.zeros((n, 16), np.uint32)
+    for i, v in enumerate(scal):
+        for j in range(16):
+            sc[i, j] = (v >> (16 * j)) & 0xFFFF
+    inf = np.zeros((n,), bool)
+    inf[7] = True
+    out = msm_tpu.msm(SPEC, jnp.asarray(sc), X, Y, jnp.asarray(inf))
+    got = _to_host(out)[0]
+    exp = None
+    for i, (s, p) in enumerate(zip(scal, pts)):
+        if not inf[i]:
+            exp = REF.add(exp, REF.mul(p, s))
+    assert got == exp
