@@ -31,8 +31,8 @@ def main():
     from poly_commit_tpu.core import msm as M
     from poly_commit_tpu.core.field_params import FR_BLS12_381
 
-    log_n = int(os.environ.get("BENCH_MSM_LOG_N", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    log_n = int(os.environ.get("BENCH_MSM_LOG_N", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "2"))
     n = 1 << log_n
     G1 = C.BLS12_381_G1
 

@@ -290,3 +290,9 @@ def is_infinity(spec, p):
     import numpy as _np
 
     return ff_is_zero_rows(spec, ff._rows(p[2]))
+
+
+def neg(spec, p):
+    """-(x, y, z): negate y (valid for values < 2p via 2p - y)."""
+    x, y, z = p
+    return (x, ff.sub(spec, jnp.zeros_like(y), y), z)

@@ -70,26 +70,47 @@ def _carry_rows(cols, n_out):
     return out, c
 
 
+def _mul_cols_low(a_rows, b_rows, n_out):
+    """Low n_out columns only (mod 2^(16*n_out)): per a-limb i, multiply just
+    b[: n_out - i] — roughly halves the work of a full product."""
+    la = len(a_rows)
+    b = jnp.stack(b_rows, 0)
+    acc = None
+    for i in range(min(la, n_out)):
+        width = n_out - i
+        p = a_rows[i][None, :] * b[:width]
+        lo = p & MASK
+        hi = p >> LIMB_BITS
+        blk = jnp.pad(lo, ((i, 0), (0, 0)))
+        hi_w = min(width, n_out - i - 1)
+        if hi_w > 0:
+            blk = blk + jnp.pad(hi[:hi_w], ((i + 1, 0), (0, 0)))
+        if blk.shape[0] < n_out:
+            blk = jnp.pad(blk, ((0, n_out - blk.shape[0]), (0, 0)))
+        acc = blk if acc is None else acc + blk
+    return [acc[k] for k in range(n_out)]
+
+
 def _mul_cols(a_rows, b_rows):
-    """Column sums of (sum_i a_i 2^16i)(sum_j b_j 2^16j): shifted AXPYs with
-    immediate lo/hi split; every accumulator < L*2^17 < 2^22."""
+    """Column sums of (sum_i a_i 2^16i)(sum_j b_j 2^16j).
+
+    Block formulation: per a-limb, ONE (lb, N) multiply with lo/hi split,
+    padded into a (la+lb, N) accumulator — la iterations of a handful of
+    wide sublane ops instead of la*lb lane-thin row ops. Accumulators are
+    bounded by 2*min(la, lb)*2^16 < 2^22.
+    """
     la, lb = len(a_rows), len(b_rows)
     b = jnp.stack(b_rows, 0)  # (lb, N)
-    lo_acc = [None] * (la + lb)
-    hi_acc = [None] * (la + lb + 1)
+    acc = None
     for i in range(la):
         p = a_rows[i][None, :] * b  # (lb, N) exact u32 (inputs < 2^16)
         lo = p & MASK
         hi = p >> LIMB_BITS
-        for j in range(lb):
-            k = i + j
-            lo_acc[k] = lo[j] if lo_acc[k] is None else lo_acc[k] + lo[j]
-            hi_acc[k + 1] = hi[j] if hi_acc[k + 1] is None else hi_acc[k + 1] + hi[j]
-    out = []
-    for k in range(la + lb):
-        v, h = lo_acc[k], hi_acc[k]
-        out.append(h if v is None else (v if h is None else v + h))
-    return out
+        blk = jnp.pad(lo, ((i, la - i), (0, 0))) + jnp.pad(
+            hi, ((i + 1, la - i - 1), (0, 0))
+        )
+        acc = blk if acc is None else acc + blk
+    return [acc[k] for k in range(la + lb)]
 
 
 def _add_ripple(a_rows, b_rows):
@@ -141,8 +162,8 @@ def _mont_mul_rows(spec: FieldSpec, a_rows, b_rows):
 
     t_cols = _mul_cols(a_rows, b_rows)  # 2L columns
     t, _ = _carry_rows(t_cols, 2 * L)
-    m_cols = _mul_cols(t[:L], np_rows)
-    m, _ = _carry_rows(m_cols[:L], L)
+    m_cols = _mul_cols_low(t[:L], np_rows, L)
+    m, _ = _carry_rows(m_cols, L)
     mp_cols = _mul_cols(m, p_rows)  # 2L columns
     s_cols = [
         (t[k] if t[k] is not None else None)

@@ -1,20 +1,26 @@
 """Limbs-first Pippenger MSM for TPU (the performance path of core/msm.py).
 
-Same sort-based, scatter-light algorithm as core/msm.py (see its module
-docstring and SURVEY.md §2.3), re-laid-out for the TPU memory system and
-built on the fused Pallas EC kernels (core/ec_lf.py):
+Scatter-free formulation built on the fused Pallas EC kernels
+(core/ec_lf.py), replacing arkworks' VariableBaseMSM (SURVEY.md §2.3):
 
-  * coordinates are (L, N) limbs-first blocks — full 128-lane utilization;
-  * every EC operation in the main scan is ONE fused Pallas kernel over all
-    windows x lanes;
-  * the lane-boundary "pool" merge and the bucket reduction use log-depth
-    segmented/prefix sums of fused EC adds instead of element-count-length
-    scans (the sequential tail was the old kernel's wall-clock floor);
-  * windows fold with a log-depth weighted tree instead of serial Horner.
+  1. Per 16-bit window, points are sorted by digit (one batched argsort).
+  2. ONE `lax.scan` of pure masked fused madds computes within-lane
+     prefix sums over the sorted points (T fixed lanes per window; the
+     prefix after every step is emitted as the scan output).
+  3. Cross-lane exclusive prefixes per window via a Blelloch tree
+     (work-efficient: ~2*lanes EC adds in 2*log2(T) fused launches).
+  4. Every bucket's sum is the DIFFERENCE of the global sorted prefix at
+     its tail position and at the previous bucket's tail -- pure gathers.
+     (The earlier scatter-into-table formulation cost ~20ms/step in XLA
+     lane scatters; this one never scatters.)
+  5. Bucket weighting sum_j j*B_j via the tiled descending running-sum
+     identity (2*W*bsz adds in ~l3 medium launches), then the window fold
+     (on host when concrete -- a handful of point ops).
 
+Kernel shapes are size-invariant (T fixed per backend), so one set of
+Mosaic compiles serves every MSM in the process; only scan lengths vary.
 Only curves whose base field satisfies R >= 4p run here (BLS12-381/377 G1,
-BN254 G1); core/msm.py::msm dispatches, everything else stays on the
-portable path.
+BN254 G1); core/msm.py::msm dispatches, everything else stays portable.
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ from . import ff
 from .field_params import FieldSpec
 
 SCALAR_BITS = 256
-C_BITS = 8  # window size; 16 % C_BITS == 0
+C_BITS = 16  # window bits (W = 16 windows); 16 % C_BITS == 0
 
 
 def _digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -46,76 +52,27 @@ def _digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(outs, axis=0)
 
 
-def _pick_lanes(n: int) -> int:
-    # sequential depth = n / T main-scan steps; keep T*W lanes >= ~32k
-    t = 1 << min(12, max(2, (n.bit_length() // 2) + 2))
-    return min(t, n)
+def _t_lanes() -> int:
+    """Fixed lane count per window: n pads up to it, shapes never vary.
+    Small on CPU where the pure-JAX fallback compiles unrolled graphs."""
+    return 4096 if jax.default_backend() == "tpu" else 128
 
 
-def _seg_scan_add(spec, pts, keys):
-    """Segmented inclusive prefix-sum of EC points along the last axis.
-
-    pts: (x, y, z) with coords (L, M); keys: (M,). Entries with equal keys
-    form contiguous segments; output position i holds the EC sum of its
-    segment's prefix up to i. log2(M) fused EC adds.
-    """
-    m = keys.shape[0]
-    levels = max(1, (m - 1).bit_length())
-    x, y, z = pts
-    inf = EC.infinity(spec, m)
-    for lv in range(levels):
-        sh = 1 << lv
-        # shifted-by-sh neighbor (from the left); out of range -> infinity
-        def shift(a, fill):
-            return jnp.concatenate([fill[:, :sh], a[:, :-sh]], axis=1)
-
-        nx = shift(x, inf[0])
-        ny = shift(y, inf[1])
-        nz = shift(z, inf[2])
-        nkeys = jnp.concatenate(
-            [jnp.full((sh,), np.uint32(0xFFFFFFFF), jnp.uint32), keys[:-sh]], 0
-        )
-        same = nkeys == keys
-        ax, ay, az = EC.add(spec, (x, y, z), (nx, ny, nz))
-        x = ff.select(same, ax, x)
-        y = ff.select(same, ay, y)
-        z = ff.select(same, az, z)
-    return (x, y, z)
-
-
-def _tree_sum(spec, pts, axis_len):
-    """EC sum over the last axis by halving; coords (L, M)."""
-    x, y, z = pts
-    m = axis_len
-    while m > 1:
-        half = m // 2
-        a = (x[:, :half], y[:, :half], z[:, :half])
-        b = (x[:, half : 2 * half], y[:, half : 2 * half], z[:, half : 2 * half])
-        s = EC.add(spec, a, b)
-        if m % 2:
-            x = jnp.concatenate([s[0], x[:, m - 1 : m]], axis=1)
-            y = jnp.concatenate([s[1], y[:, m - 1 : m]], axis=1)
-            z = jnp.concatenate([s[2], z[:, m - 1 : m]], axis=1)
-            m = half + 1
-        else:
-            x, y, z = s
-            m = half
-    return (x, y, z)
+def _flat(pts, L, m):
+    return tuple(cc.reshape(L, m) for cc in pts)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
     """scalars (N, 16) plain; x/y (L, N) affine limbs; inf (N,) bool.
-
-    Returns a Jacobian point with coords (L, 1).
-    """
+    Returns per-window sums S_w with coords (L, W)."""
     c = C_BITS
     n = scalars.shape[0]
     L = spec.n_limbs
     bsz = 1 << c
     dump = np.uint32(bsz)
     w_count = SCALAR_BITS // c
-    t_lanes = _pick_lanes(n)
+    t_lanes = _t_lanes()
     l_steps = -(-n // t_lanes)
     padn = l_steps * t_lanes - n
 
@@ -125,161 +82,231 @@ def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
         digs = jnp.pad(digs, ((0, 0), (0, padn)), constant_values=np.uint32(bsz))
         x = jnp.pad(x, ((0, 0), (0, padn)))
         y = jnp.pad(y, ((0, 0), (0, padn)))
-    order = jnp.argsort(digs, axis=1)  # (W, N')
-    sd = jnp.take_along_axis(digs, order, axis=1)  # (W, N')
+    order = jnp.argsort(digs, axis=1)  # (W, N') ascending digits
+    sd = jnp.take_along_axis(digs, order, axis=1)
     sx = jnp.take(x, order, axis=1)  # (L, W, N')
     sy = jnp.take(y, order, axis=1)
 
-    # steps layout: lane t covers sorted slice [t*l_steps, (t+1)*l_steps)
+    # lane t covers sorted slice [t*l_steps, (t+1)*l_steps)
     def to_slwt(a):  # (L, W, N') -> (S, L, W*T)
         a = a.reshape(L, w_count, t_lanes, l_steps)
         return jnp.moveaxis(a, 3, 0).reshape(l_steps, L, w_count * t_lanes)
 
-    sd_l = jnp.moveaxis(
-        sd.reshape(w_count, t_lanes, l_steps), 2, 0
-    ).reshape(l_steps, w_count * t_lanes)
     sx_l = to_slwt(sx)
     sy_l = to_slwt(sy)
-    lead_keys = sd.reshape(w_count, t_lanes, l_steps)[:, :, 0]  # (W, T)
+    skip_l = jnp.moveaxis(
+        (sd == dump).reshape(w_count, t_lanes, l_steps), 2, 0
+    ).reshape(l_steps, w_count * t_lanes)
 
     m = w_count * t_lanes
-    slots = w_count * (bsz + 2)
-    table = EC.infinity(spec, slots)
-    accum = EC.infinity(spec, m)
-    inf_m = EC.infinity(spec, m)
 
-    w_off_flat = jnp.asarray(np.repeat(np.arange(w_count, dtype=np.uint32) * (bsz + 2), t_lanes))
-
-    def scatter(table, keys_flat, pt):
-        return tuple(tc.at[:, keys_flat].set(pc) for tc, pc in zip(table, pt))
-
-    def main_body(state, inp):
-        table, accum, cur_key, have_init, init_pt = state
-        key, px, py = inp
-        same = key == cur_key
-        complete = ~same
-        emit_mask = complete & have_init
-        # non-emitting lanes write into their window's dump slot (never read)
-        out_key = jnp.where(emit_mask, cur_key + w_off_flat, w_off_flat + np.uint32(bsz))
-        out_pt = EC.select(emit_mask, accum, inf_m)
-        table = scatter(table, out_key, out_pt)
-        is_init = complete & ~have_init
-        init_pt = EC.select(is_init, accum, init_pt)
-        have_init = have_init | complete
-        fresh = EC.from_affine(spec, px, py)
+    def main_body(accum, inp):
+        px, py, skip = inp
         added = EC.madd(spec, accum, px, py)
-        accum = EC.select(same, added, fresh)
-        return (table, accum, key, have_init, init_pt), None
+        accum = EC.select(skip, accum, added)
+        return accum, accum  # emit the inclusive within-lane prefix
 
-    state0 = (
-        table,
-        accum,
-        lead_keys.reshape(-1),
-        jnp.zeros((m,), bool),
-        inf_m,
+    lane_sums, prefixes = jax.lax.scan(
+        main_body, EC.infinity(spec, m), (sx_l, sy_l, skip_l)
     )
-    (table, accum, cur_key, have_init, init_pt), _ = jax.lax.scan(
-        main_body, state0, (sd_l, sx_l, sy_l)
-    )
+    # prefixes: tuple of 3 coord arrays (S, L, m); lane_sums: coords (L, m)
 
-    # ---- pool: per-lane leading segment + trailing partial ----
-    lead_pt = EC.select(have_init, init_pt, inf_m)  # (L, W*T)
-    lead_key_flat = lead_keys.reshape(-1) + w_off_flat
-    trail_key_flat = cur_key + w_off_flat
+    # ---- exclusive cross-lane prefix per window (Blelloch) ----
+    levels = t_lanes.bit_length() - 1
+    sums = tuple(cc.reshape(L, w_count, t_lanes) for cc in lane_sums)
+    stack = []
+    width = t_lanes
+    for _ in range(levels):
+        even = tuple(cc[:, :, 0::2] for cc in sums)
+        odd = tuple(cc[:, :, 1::2] for cc in sums)
+        stack.append(even)
+        width //= 2
+        s = EC.add(
+            spec, _flat(even, L, w_count * width), _flat(odd, L, w_count * width)
+        )
+        sums = tuple(cc.reshape(L, w_count, width) for cc in s)
+    pref = tuple(cc.reshape(L, w_count, 1) for cc in EC.infinity(spec, w_count))
+    width = 1
+    for lv in reversed(range(levels)):
+        even_val = stack[lv]  # (L, W, width)
+        odd = EC.add(
+            spec,
+            _flat(pref, L, w_count * width),
+            _flat(even_val, L, w_count * width),
+        )
+        odd = tuple(cc.reshape(L, w_count, width) for cc in odd)
+        pref = tuple(
+            jnp.stack([pe, po], axis=3).reshape(L, w_count, 2 * width)
+            for pe, po in zip(pref, odd)
+        )
+        width *= 2
+    lane_pref = _flat(pref, L, m)  # exclusive per-window lane prefixes
 
-    def interleave_pts(a, b):
-        # (L, M) x (L, M) -> (L, 2M) interleaved per lane
-        st = jnp.stack([a, b], axis=2)  # (L, M, 2)
-        return st.reshape(a.shape[0], 2 * a.shape[1])
+    # ---- bucket tails (searchsorted on sorted digits) ----
+    qs = jnp.arange(bsz, dtype=jnp.uint32)
 
-    pool_x = interleave_pts(lead_pt[0], accum[0])
-    pool_y = interleave_pts(lead_pt[1], accum[1])
-    pool_z = interleave_pts(lead_pt[2], accum[2])
-    pool_keys = jnp.stack([lead_key_flat, trail_key_flat], axis=1).reshape(-1)
-    # BUT: interleaving is per-lane within a window; lanes of one window are
-    # contiguous in the flat (W*T) layout, so same-bucket runs stay adjacent.
-    psum = _seg_scan_add(spec, (pool_x, pool_y, pool_z), pool_keys)
-    # segment tails: last entry of each run writes the total
-    nxt = jnp.concatenate([pool_keys[1:], jnp.full((1,), np.uint32(0xFFFFFFFF), jnp.uint32)], 0)
-    is_tail = nxt != pool_keys
-    tail_keys = jnp.where(
-        is_tail, pool_keys, (pool_keys // (bsz + 2)) * (bsz + 2) + np.uint32(bsz)
-    )
-    # merge pool totals with whatever the main scan already wrote for the
-    # same bucket (main scan never writes a bucket that continues across a
-    # lane boundary twice, but it may have written interior buckets;
-    # interior buckets never appear in the pool, so a plain write is safe)
-    table = scatter(table, tail_keys, psum)
+    def tails_one(sd_w):
+        return jnp.searchsorted(sd_w, qs, side="right").astype(jnp.int32) - 1
 
-    # ---- bucket reduction: S_w = sum_{j>=1} j * B_j ----
-    # gather buckets descending j = bsz-1 .. 1 per window: (L, W, bsz-1)
-    idx = (
-        np.arange(w_count, dtype=np.int64)[:, None] * (bsz + 2)
-        + np.arange(bsz - 1, 0, -1, dtype=np.int64)[None, :]
+    tails = jax.vmap(tails_one)(sd)  # (W, bsz) in [-1, N'-1]
+
+    # ---- G at tail positions: lane_pref[lane] + prefixes[step][lane] ----
+    pos = jnp.clip(tails, 0)
+    lane = pos // l_steps  # (W, bsz)
+    step = pos % l_steps
+    lane_flat = (
+        lane + (jnp.arange(w_count, dtype=jnp.int32) * t_lanes)[:, None]
     ).reshape(-1)
-    bx = jnp.take(table[0], jnp.asarray(idx), axis=1)
-    by = jnp.take(table[1], jnp.asarray(idx), axis=1)
-    bz = jnp.take(table[2], jnp.asarray(idx), axis=1)
-    seg = np.repeat(np.arange(w_count, dtype=np.uint32), bsz - 1)
-    running = _seg_scan_add(spec, (bx, by, bz), jnp.asarray(seg))
-    # S_w = sum over the window's running prefixes: segmented total of
-    # running -> use tree-sum per window via reshape (windows equal length)
-    rx = running[0].reshape(L, w_count, bsz - 1)
-    ry = running[1].reshape(L, w_count, bsz - 1)
-    rz = running[2].reshape(L, w_count, bsz - 1)
+    step_flat = step.reshape(-1)
+    empty = (tails < 0).reshape(-1)
 
-    def wtree(px, py, pz, mlen):
-        while mlen > 1:
-            half = mlen // 2
-            a = (
-                px[:, :, :half].reshape(L, -1),
-                py[:, :, :half].reshape(L, -1),
-                pz[:, :, :half].reshape(L, -1),
+    within = tuple(
+        cc[step_flat, :, lane_flat].swapaxes(0, 1) for cc in prefixes
+    )  # (L, W*bsz)
+    lp_at = tuple(cc[:, lane_flat] for cc in lane_pref)
+    g = EC.add(spec, within, lp_at)  # inclusive global prefix at tails
+    g = EC.select(empty, EC.infinity(spec, g[0].shape[1]), g)
+
+    # ---- Abel summation: S_w = B*G_B - sum_{b=0}^{B-1} G_b, B = bsz-1 ----
+    # (sum_j j*(G_j - G_{j-1}) telescopes; no weighted bucket reduction)
+    g3 = tuple(cc.reshape(L, w_count, bsz) for cc in g)
+    g_last = tuple(cc[:, :, bsz - 1] for cc in g3)  # (L, W): window totals
+    # tree-sum of G_0..G_{bsz-2} per window
+    cur = tuple(cc[:, :, : bsz - 1] for cc in g3)
+    mlen = bsz - 1
+    while mlen > 1:
+        half = mlen // 2
+        a = tuple(cc[:, :, :half] for cc in cur)
+        b = tuple(cc[:, :, half : 2 * half] for cc in cur)
+        s = EC.add(
+            spec, _flat(a, L, w_count * half), _flat(b, L, w_count * half)
+        )
+        s = tuple(cc.reshape(L, w_count, half) for cc in s)
+        if mlen % 2:
+            cur = tuple(
+                jnp.concatenate([sc, cc[:, :, mlen - 1 :]], axis=2)
+                for sc, cc in zip(s, cur)
             )
-            b = (
-                px[:, :, half : 2 * half].reshape(L, -1),
-                py[:, :, half : 2 * half].reshape(L, -1),
-                pz[:, :, half : 2 * half].reshape(L, -1),
-            )
-            s = EC.add(spec, a, b)
-            sx_ = s[0].reshape(L, w_count, half)
-            sy_ = s[1].reshape(L, w_count, half)
-            sz_ = s[2].reshape(L, w_count, half)
-            if mlen % 2:
-                px = jnp.concatenate([sx_, px[:, :, mlen - 1 :]], axis=2)
-                py = jnp.concatenate([sy_, py[:, :, mlen - 1 :]], axis=2)
-                pz = jnp.concatenate([sz_, pz[:, :, mlen - 1 :]], axis=2)
-                mlen = half + 1
-            else:
-                px, py, pz = sx_, sy_, sz_
-                mlen = half
-        return (px[:, :, 0], py[:, :, 0], pz[:, :, 0])  # (L, W)
+            mlen = half + 1
+        else:
+            cur = s
+            mlen = half
+    sum_g = tuple(cc[:, :, 0] for cc in cur)  # (L, W)
+    return g_last + sum_g  # 6 coord arrays: (x,y,z of G_B, x,y,z of sumG)
 
-    s_w = wtree(rx, ry, rz, bsz - 1)
 
-    # ---- window fold: sum_w 2^(c*w) S_w, log-depth pairing ----
+def _combine_sw_device(spec: FieldSpec, parts):
+    """S_w = B*G_B - sumG on device (B = bsz-1), then the window fold."""
+    bsz = 1 << C_BITS
+    g_last = parts[:3]
+    sum_g = parts[3:]
+    # scalar-mul by (bsz - 1) via double-and-add over its bits
+    bits = bin(bsz - 1)[2:]
+    acc = EC.infinity(spec, g_last[0].shape[1])
+    for bit in bits:
+        acc = EC.double(spec, acc)
+        if bit == "1":
+            acc = EC.add(spec, acc, g_last)
+    return EC.add(spec, acc, EC.neg(spec, sum_g))  # (L, W)
+
+
+def _fold_device(spec: FieldSpec, s_w):
+    """sum_w 2^(c*w) S_w on device (used under traces, e.g. shard_map)."""
+    c = C_BITS
     wx, wy, wz = s_w
-    wlen = w_count
+    wlen = wx.shape[1]
     while wlen > 1:
         half = wlen // 2
         hi = (wx[:, half:wlen], wy[:, half:wlen], wz[:, half:wlen])
-        # hi scaled by 2^(c*half): c*half doublings, vectorized over half
         for _ in range(c * half):
             hi = EC.double(spec, hi)
         lo = (wx[:, :half], wy[:, :half], wz[:, :half])
-        s = EC.add(spec, lo, hi)
-        wx, wy, wz = s
+        wx, wy, wz = EC.add(spec, lo, hi)
         wlen = half
     return (wx[:, :1], wy[:, :1], wz[:, :1])
 
 
+def _to_host_pts(spec, coords):
+    q = spec.modulus
+    xs = ff.to_ints(spec, coords[0])
+    ys = ff.to_ints(spec, coords[1])
+    zs = ff.to_ints(spec, coords[2])
+    pts = []
+    for xm, ym, zm in zip(xs, ys, zs):
+        z = zm % q
+        if z == 0:
+            pts.append(None)
+            continue
+        zi = pow(z, -1, q)
+        pts.append(((xm * zi * zi) % q, (ym * zi * zi * zi) % q))
+    return pts
+
+
+def _fold_host(spec: FieldSpec, parts):
+    """S_w = B*G_B - sumG per window, then the Horner window fold — all on
+    host ints (W points; a handful of EC ops, no tiny device launches)."""
+    bsz = 1 << C_BITS
+    grp = _host_group_for(spec)
+    g_last = _to_host_pts(spec, parts[:3])
+    sum_g = _to_host_pts(spec, parts[3:])
+    pts = [
+        grp.sub(grp.mul(gl, bsz - 1), sg) for gl, sg in zip(g_last, sum_g)
+    ]
+    acc = None
+    for pt in reversed(pts):
+        for _ in range(C_BITS):
+            acc = grp.double(acc)
+        acc = grp.add(acc, pt)
+    if acc is None:
+        return (ff.zeros(spec, 1), ff.one_mont(spec, 1), ff.zeros(spec, 1))
+    return (
+        ff.from_ints(spec, [acc[0]]),
+        ff.from_ints(spec, [acc[1]]),
+        ff.one_mont(spec, 1),
+    )
+
+
+def _host_group_for(spec: FieldSpec):
+    from . import field_params as FP
+    from .hostec import HostWeierstrass, _Fp
+
+    by_name = {
+        FP.FQ_BLS12_381.name: (FP.BLS12_381_Q, FP.BLS12_381_R),
+        FP.FQ_BLS12_377.name: (FP.BLS12_377_Q, FP.BLS12_377_R),
+        FP.FQ_BN254.name: (FP.BN254_Q, FP.BN254_R),
+    }
+    q, order = by_name[spec.name]
+    return HostWeierstrass(_Fp(q), order)
+
+
 def msm(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
-    """Pad N to a power of two and run; returns Jacobian coords (L, 1)."""
+    """Pad N to a power of two (>= T) and run; returns Jacobian coords (L, 1).
+
+    The final window fold runs on host when inputs are concrete, on device
+    under traces (e.g. inside shard_map)."""
     n = scalars.shape[0]
-    n2 = 1 << max(7, (n - 1).bit_length())  # at least 128 lanes
+    # sorted copies + emitted prefixes cost ~16 bytes/point/window; chunk so
+    # one call stays inside a single chip's HBM
+    chunk = 1 << 20
+    if n > chunk:
+        parts = [
+            msm(spec, scalars[s : s + chunk], x[:, s : s + chunk],
+                y[:, s : s + chunk], inf[s : s + chunk])
+            for s in range(0, n, chunk)
+        ]
+        acc = parts[0]
+        for pt in parts[1:]:
+            acc = EC.add(spec, acc, pt)
+        return acc
+    n2 = 1 << max(_t_lanes().bit_length() - 1, (n - 1).bit_length())
     if n2 != n:
         scalars = jnp.pad(scalars, ((0, n2 - n), (0, 0)))
         x = jnp.pad(x, ((0, 0), (0, n2 - n)))
         y = jnp.pad(y, ((0, 0), (0, n2 - n)))
         inf = jnp.pad(inf, (0, n2 - n), constant_values=True)
-    return _msm_impl(spec, scalars, x, y, inf)
+    parts = _msm_impl(spec, scalars, x, y, inf)
+    import jax.core
+
+    if isinstance(parts[0], jax.core.Tracer):
+        return _fold_device(spec, _combine_sw_device(spec, parts))
+    return _fold_host(spec, parts)
