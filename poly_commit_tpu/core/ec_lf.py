@@ -31,34 +31,36 @@ def _formula_madd(spec, rows_in):
     """madd-2007-bl with edge selects. rows_in: 8 coord row-lists."""
     x1, y1, z1, x2, y2 = rows_in[:5]
     mul = lambda a, b: ff._mont_mul_rows(spec, a, b)
+    sqr = lambda a: ff._mont_sqr_rows(spec, a)
     add = lambda a, b: ff._add_rows(spec, a, b)
     sub = lambda a, b: ff._sub_rows(spec, a, b)
 
-    z1z1 = mul(z1, z1)
+    z1z1 = sqr(z1)
     u2 = mul(x2, z1z1)
     s2 = mul(mul(y2, z1), z1z1)
     h = sub(u2, x1)
-    hh = mul(h, h)
+    hh = sqr(h)
     i = add(add(hh, hh), add(hh, hh))
     j = mul(h, i)
     r0 = sub(s2, y1)
     r = add(r0, r0)
     v = mul(x1, i)
-    r2 = mul(r, r)
+    r2 = sqr(r)
     x3 = sub(sub(r2, j), add(v, v))
-    y3 = sub(mul(r, sub(v, x3)), add(mul(y1, j), mul(y1, j)))
+    y1j = mul(y1, j)
+    y3 = sub(mul(r, sub(v, x3)), add(y1j, y1j))
     z1h = add(z1, h)
-    z3 = sub(sub(mul(z1h, z1h), z1z1), hh)
+    z3 = sub(sub(sqr(z1h), z1z1), hh)
 
     # -- doubling branch (dbl-2009-l on (x1, y1, z1)) --
-    a = mul(x1, x1)
-    b = mul(y1, y1)
-    c = mul(b, b)
+    a = sqr(x1)
+    b = sqr(y1)
+    c = sqr(b)
     xb = add(x1, b)
-    d0 = sub(sub(mul(xb, xb), a), c)
+    d0 = sub(sub(sqr(xb), a), c)
     d = add(d0, d0)
     e = add(add(a, a), a)
-    f = mul(e, e)
+    f = sqr(e)
     dx = sub(f, add(d, d))
     c2 = add(c, c)
     c4 = add(c2, c2)
@@ -95,35 +97,36 @@ def _formula_add(spec, rows_in):
     add = lambda a, b: ff._add_rows(spec, a, b)
     sub = lambda a, b: ff._sub_rows(spec, a, b)
 
-    z1z1 = mul(z1, z1)
-    z2z2 = mul(z2, z2)
+    sqr = lambda a: ff._mont_sqr_rows(spec, a)
+    z1z1 = sqr(z1)
+    z2z2 = sqr(z2)
     u1 = mul(x1, z2z2)
     u2 = mul(x2, z1z1)
     s1 = mul(mul(y1, z2), z2z2)
     s2 = mul(mul(y2, z1), z1z1)
     h = sub(u2, u1)
     h2 = add(h, h)
-    i = mul(h2, h2)
+    i = sqr(h2)
     j = mul(h, i)
     r0 = sub(s2, s1)
     r = add(r0, r0)
     v = mul(u1, i)
-    r2 = mul(r, r)
+    r2 = sqr(r)
     x3 = sub(sub(r2, j), add(v, v))
     s1j = mul(s1, j)
     y3 = sub(mul(r, sub(v, x3)), add(s1j, s1j))
     z12 = add(z1, z2)
-    z3 = mul(sub(sub(mul(z12, z12), z1z1), z2z2), h)
+    z3 = mul(sub(sub(sqr(z12), z1z1), z2z2), h)
 
     # doubling branch on (x1, y1, z1)
-    a = mul(x1, x1)
-    b = mul(y1, y1)
-    c = mul(b, b)
+    a = sqr(x1)
+    b = sqr(y1)
+    c = sqr(b)
     xb = add(x1, b)
-    d0 = sub(sub(mul(xb, xb), a), c)
+    d0 = sub(sub(sqr(xb), a), c)
     d = add(d0, d0)
     e = add(add(a, a), a)
-    f = mul(e, e)
+    f = sqr(e)
     dx = sub(f, add(d, d))
     c2 = add(c, c)
     c8 = add(add(c2, c2), add(c2, c2))
@@ -156,16 +159,17 @@ def _formula_add(spec, rows_in):
 def _formula_double(spec, rows_in):
     x1, y1, z1 = rows_in
     mul = lambda a, b: ff._mont_mul_rows(spec, a, b)
+    sqr = lambda a: ff._mont_sqr_rows(spec, a)
     add = lambda a, b: ff._add_rows(spec, a, b)
     sub = lambda a, b: ff._sub_rows(spec, a, b)
-    a = mul(x1, x1)
-    b = mul(y1, y1)
-    c = mul(b, b)
+    a = sqr(x1)
+    b = sqr(y1)
+    c = sqr(b)
     xb = add(x1, b)
-    d0 = sub(sub(mul(xb, xb), a), c)
+    d0 = sub(sub(sqr(xb), a), c)
     d = add(d0, d0)
     e = add(add(a, a), a)
-    f = mul(e, e)
+    f = sqr(e)
     dx = sub(f, add(d, d))
     c2 = add(c, c)
     c8 = add(add(c2, c2), add(c2, c2))

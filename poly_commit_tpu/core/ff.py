@@ -113,6 +113,53 @@ def _mul_cols(a_rows, b_rows):
     return [acc[k] for k in range(la + lb)]
 
 
+def _sqr_cols(a_rows):
+    """Column sums of (sum a_i 2^16i)^2: per limb i ONE multiply against the
+    tail a[i:], with cross terms (j > i) doubled -- ~45% fewer multiplies
+    than the general product."""
+    la = len(a_rows)
+    a = jnp.stack(a_rows, 0)
+    acc = None
+    for i in range(la):
+        tail = a[i:]  # (la - i, N)
+        p = a_rows[i][None, :] * tail  # exact u32
+        lo = p & MASK
+        hi = p >> LIMB_BITS
+        # double the cross terms (rows 1..) but not the square (row 0)
+        if p.shape[0] > 1:
+            dbl = jnp.concatenate([lo[:1], lo[1:] * 2], axis=0)
+            dblh = jnp.concatenate([hi[:1], hi[1:] * 2], axis=0)
+        else:
+            dbl, dblh = lo, hi
+        blk = jnp.pad(dbl, ((2 * i, la - i), (0, 0))) + jnp.pad(
+            dblh, ((2 * i + 1, la - i - 1), (0, 0))
+        )
+        acc = blk if acc is None else acc + blk
+    return [acc[k] for k in range(2 * la)]
+
+
+def _mont_sqr_rows(spec: FieldSpec, a_rows):
+    """Montgomery square (reuses the low-half m-product reduction)."""
+    L = spec.n_limbs
+    p_l, _, np_l, _ = consts(spec)
+    shape = a_rows[0].shape
+    np_rows = [jnp.full(shape, int(v), jnp.uint32) for v in np_l]
+    p_rows = [jnp.full(shape, int(v), jnp.uint32) for v in p_l]
+    t_cols = _sqr_cols(a_rows)
+    t, _ = _carry_rows(t_cols, 2 * L)
+    m_cols = _mul_cols_low(t[:L], np_rows, L)
+    m, _ = _carry_rows(m_cols, L)
+    mp_cols = _mul_cols(m, p_rows)
+    s_cols = [
+        (t[k] if t[k] is not None else None)
+        if (k >= len(mp_cols) or mp_cols[k] is None)
+        else (mp_cols[k] if t[k] is None else t[k] + mp_cols[k])
+        for k in range(2 * L)
+    ]
+    s, _ = _carry_rows(s_cols, 2 * L)
+    return s[L:]
+
+
 def _add_ripple(a_rows, b_rows):
     """Row lists -> (rows, carry); inputs canonical 16-bit."""
     cols = []

@@ -84,16 +84,12 @@ def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
         y = jnp.pad(y, ((0, 0), (0, padn)))
     order = jnp.argsort(digs, axis=1)  # (W, N') ascending digits
     sd = jnp.take_along_axis(digs, order, axis=1)
-    sx = jnp.take(x, order, axis=1)  # (L, W, N')
-    sy = jnp.take(y, order, axis=1)
 
-    # lane t covers sorted slice [t*l_steps, (t+1)*l_steps)
-    def to_slwt(a):  # (L, W, N') -> (S, L, W*T)
-        a = a.reshape(L, w_count, t_lanes, l_steps)
-        return jnp.moveaxis(a, 3, 0).reshape(l_steps, L, w_count * t_lanes)
-
-    sx_l = to_slwt(sx)
-    sy_l = to_slwt(sy)
+    # lane t covers sorted slice [t*l_steps, (t+1)*l_steps); points are
+    # gathered INSIDE the scan (no (L, W, N') sorted copies materialized)
+    idx_l = jnp.moveaxis(
+        order.reshape(w_count, t_lanes, l_steps), 2, 0
+    ).reshape(l_steps, w_count * t_lanes)
     skip_l = jnp.moveaxis(
         (sd == dump).reshape(w_count, t_lanes, l_steps), 2, 0
     ).reshape(l_steps, w_count * t_lanes)
@@ -101,13 +97,15 @@ def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
     m = w_count * t_lanes
 
     def main_body(accum, inp):
-        px, py, skip = inp
+        idx, skip = inp
+        px = jnp.take(x, idx, axis=1)
+        py = jnp.take(y, idx, axis=1)
         added = EC.madd(spec, accum, px, py)
         accum = EC.select(skip, accum, added)
         return accum, accum  # emit the inclusive within-lane prefix
 
     lane_sums, prefixes = jax.lax.scan(
-        main_body, EC.infinity(spec, m), (sx_l, sy_l, skip_l)
+        main_body, EC.infinity(spec, m), (idx_l, skip_l)
     )
     # prefixes: tuple of 3 coord arrays (S, L, m); lane_sums: coords (L, m)
 
