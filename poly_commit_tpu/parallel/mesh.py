@@ -40,6 +40,17 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def make_mesh_2d(n_dp: int, n_tp: int) -> Mesh:
+    """2-D mesh: 'dp' shards the point/coefficient batch (MSM bases), 'tp'
+    shards tensor work (NTT coefficient axis, matrix rows). The analogues of
+    DP/TP for this workload (SURVEY.md §2.5)."""
+    devs = jax.devices()
+    assert n_dp * n_tp <= len(devs)
+    return Mesh(
+        np.asarray(devs[: n_dp * n_tp]).reshape(n_dp, n_tp), ("dp", "tp")
+    )
+
+
 def _fold_gathered(group, gathered, n_dev: int):
     """(n_dev, ...) pytree of projective points -> single point.
 
@@ -52,15 +63,16 @@ def _fold_gathered(group, gathered, n_dev: int):
 
 
 def msm_sharded(group, scalars: jnp.ndarray, points, mesh: Mesh,
-                c: int | None = None, lanes: int | None = None):
-    """MSM with bases+scalars sharded over ``mesh``'s first axis.
+                c: int | None = None, lanes: int | None = None,
+                axis: str | None = None):
+    """MSM with bases+scalars sharded over a mesh axis (default: first).
 
     scalars: (N, 16) plain limbs; points: affine (x, y, inf) batched (N, ...).
-    N must be divisible by the mesh size (pad with inf points otherwise —
+    N must be divisible by the axis size (pad with inf points otherwise —
     see :func:`pad_msm_inputs`). Returns a replicated projective point.
     """
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
+    axis = axis or mesh.axis_names[0]
+    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
 
     def local(sc, x, y, inf):
         part = M.msm(group, sc, (x, y, inf), c, lanes)
@@ -70,11 +82,12 @@ def msm_sharded(group, scalars: jnp.ndarray, points, mesh: Mesh,
         return _fold_gathered(group, gathered, n_dev)
 
     pt_specs = tuple(PSpec(axis) for _ in range(3))
+    out_proto = group.infinity(())
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(PSpec(axis),) + pt_specs,
-        out_specs=jax.tree_util.tree_map(lambda _: PSpec(), group.infinity(())),
+        out_specs=jax.tree_util.tree_map(lambda _: PSpec(), out_proto),
         check_rep=False,
     )
     x, y, inf = points
@@ -96,7 +109,8 @@ def pad_msm_inputs(group, scalars, points, multiple: int):
     return scalars, (x, y, inf)
 
 
-def ntt_sharded(spec, coeffs: jnp.ndarray, mesh: Mesh, inverse: bool = False):
+def ntt_sharded(spec, coeffs: jnp.ndarray, mesh: Mesh, inverse: bool = False,
+                axis: str | None = None):
     """Radix-2 NTT over a coefficient axis sharded on ``mesh``.
 
     Strategy: run the kernel under shard_map with the array all-gathered
@@ -105,13 +119,14 @@ def ntt_sharded(spec, coeffs: jnp.ndarray, mesh: Mesh, inverse: bool = False):
     one collective. Correctness-first formulation; the all-to-all staged
     variant is the optimization path.
     """
-    axis = mesh.axis_names[0]
+    axis = axis or mesh.axis_names[0]
+    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
 
     def local(a):
         full = jax.lax.all_gather(a, axis, tiled=True)
         out = NTT.intt(spec, full) if inverse else NTT.ntt(spec, full)
         idx = jax.lax.axis_index(axis)
-        shard = out.shape[0] // mesh.devices.size
+        shard = out.shape[0] // n_dev
         return jax.lax.dynamic_slice_in_dim(out, idx * shard, shard, axis=0)
 
     fn = shard_map(
@@ -121,9 +136,9 @@ def ntt_sharded(spec, coeffs: jnp.ndarray, mesh: Mesh, inverse: bool = False):
     return fn(coeffs)
 
 
-def shard_batch(arr, mesh: Mesh):
-    """Place a batch-leading array sharded over the mesh (DP analogue)."""
-    axis = mesh.axis_names[0]
+def shard_batch(arr, mesh: Mesh, axis: str | None = None):
+    """Place a batch-leading array sharded over a mesh axis (DP analogue)."""
+    axis = axis or mesh.axis_names[0]
     return jax.device_put(arr, NamedSharding(mesh, PSpec(axis)))
 
 
