@@ -37,7 +37,7 @@ B16 = np.uint32(1 << LIMB_BITS)
 def consts(spec: FieldSpec):
     """(p, 2p, -p^-1 mod R, R mod p) limb arrays as numpy (L,) uint32."""
     L = spec.n_limbs
-    assert 4 * spec.modulus <= spec.R, "range invariant needs R >= 4p"
+    assert 2 * spec.modulus < spec.R, "range invariant needs R > 2p"
     npi = (-pow(spec.modulus, -1, spec.R)) % spec.R
     return (
         np.asarray(spec.p_limbs, np.uint32),
@@ -45,6 +45,13 @@ def consts(spec: FieldSpec):
         int_to_limbs(npi, L).astype(np.uint32),
         np.asarray(spec.r_limbs, np.uint32),
     )
+
+
+def needs_post_reduce(spec: FieldSpec) -> bool:
+    """R >= 4p keeps Montgomery closed over [0, 2p) for free; tighter fields
+    (R > 2p only, e.g. the 255-bit scalar fields at 16 limbs) reduce once
+    after each multiply: t < (4p/R + 1)p < 3p -> minus 2p when >= 2p -> < 2p."""
+    return 4 * spec.modulus > spec.R
 
 
 # ---------------------------------------------------------------------------
@@ -156,8 +163,11 @@ def _mont_sqr_rows(spec: FieldSpec, a_rows):
         else (mp_cols[k] if t[k] is None else t[k] + mp_cols[k])
         for k in range(2 * L)
     ]
-    s, _ = _carry_rows(s_cols, 2 * L)
-    return s[L:]
+    s, carry = _carry_rows(s_cols, 2 * L)
+    hi = s[L:]
+    if needs_post_reduce(spec):
+        hi = _reduce_once_rows(spec, hi, carry)
+    return hi
 
 
 def _add_ripple(a_rows, b_rows):
@@ -190,12 +200,17 @@ def _rows(a):
     return [a[i] for i in range(a.shape[0])]
 
 
-def _reduce_once_rows(spec, rows):
-    """value < 4p -> subtract 2p if possible -> < 2p."""
+def _reduce_once_rows(spec, rows, carry=None):
+    """true value = rows + carry*R < 4p -> subtract 2p if >= 2p -> < 2p.
+
+    carry is the optional overflow bit out of the top limb (0/1); with it
+    set the subtraction is always taken (R > 2p)."""
     _, twop, _, _ = consts(spec)
     t_rows = [jnp.full(rows[0].shape, int(v), jnp.uint32) for v in twop]
     sub_rows, borrow = _sub_ripple(rows, t_rows)
-    keep = borrow.astype(bool)  # borrow => value < 2p, keep original
+    keep = borrow.astype(bool)  # borrow => limb value < 2p
+    if carry is not None:
+        keep = keep & (carry == 0)
     return [jnp.where(keep, r, s) for r, s in zip(rows, sub_rows)]
 
 
@@ -219,14 +234,16 @@ def _mont_mul_rows(spec: FieldSpec, a_rows, b_rows):
         for k in range(2 * L)
     ]
     s, carry = _carry_rows(s_cols, 2 * L)
-    # carry out of 2L limbs is impossible: t + m*p < 4p^2 + R*p <= R^2/4 + R^2/4 < R^2
     hi = s[L:]
-    return hi  # hi < p + 4p^2/R <= 2p given 4p <= R
+    if needs_post_reduce(spec):
+        # true hi + carry*R < (4p/R + 1)p < 3p; one subtract restores < 2p
+        hi = _reduce_once_rows(spec, hi, carry)
+    return hi  # < 2p
 
 
 def _add_rows(spec, a_rows, b_rows):
-    s, _ = _add_ripple(a_rows, b_rows)  # < 4p, no top overflow (4p <= R)
-    return _reduce_once_rows(spec, s)
+    s, c = _add_ripple(a_rows, b_rows)  # true value < 4p (may carry past R)
+    return _reduce_once_rows(spec, s, c)
 
 
 def _sub_rows(spec, a_rows, b_rows):
@@ -234,9 +251,10 @@ def _sub_rows(spec, a_rows, b_rows):
     _, twop, _, _ = consts(spec)
     shape = a_rows[0].shape
     t_rows = [jnp.full(shape, int(v), jnp.uint32) for v in twop]
-    s, _ = _add_ripple(a_rows, t_rows)  # < 4p
-    d, _ = _sub_ripple(s, b_rows)  # b < 2p < s -> no final borrow
-    return _reduce_once_rows(spec, d)
+    s, c = _add_ripple(a_rows, t_rows)  # true value < 4p, may carry past R
+    d, borrow = _sub_ripple(s, b_rows)  # true value >= 0 (b < 2p <= a + 2p)
+    c2 = c - borrow  # borrow=1 with c=0 impossible (value nonnegative)
+    return _reduce_once_rows(spec, d, c2)
 
 
 # ---------------------------------------------------------------------------

@@ -94,7 +94,8 @@ def _fast_path_ok(group) -> bool:
         return False
     spec = group.fops.spec
     if 4 * spec.modulus > spec.R:
-        return False
+        return False  # ff supports these with post-reduce, but the MSM path
+        # only targets the pairing-curve base fields today
     env = os.environ.get("POLY_COMMIT_FAST_MSM")
     if env is not None:
         return env not in ("0", "false")
