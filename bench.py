@@ -24,6 +24,13 @@ ARKWORKS_CPU_MSM_OPS_PER_S = 1.2e6  # see BASELINE.md "CPU comparison point"
 
 def main():
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from poly_commit_tpu.core import curve as C
@@ -37,12 +44,26 @@ def main():
     G1 = C.BLS12_381_G1
 
     rng = np.random.default_rng(42)
-    # random-looking distinct points: fixed-base multiples of the generator
-    ks = rng.integers(1, 1 << 62, size=n, dtype=np.int64)
-    ksc = np.zeros((n, 16), np.uint32)
-    for i in range(4):
-        ksc[:, i] = (ks >> (16 * i)) & 0xFFFF
-    pts = G1.to_affine(M.fixed_base_mul(G1, G1.generator(), jnp.asarray(ksc)))
+    # random-looking points: a small pool of host-computed generator
+    # multiples, tiled out to n by random gather. MSM cost is data-
+    # independent (same sort/scan/bucket work for any inputs), so a pool
+    # keeps the *measured* kernel identical while making setup O(pool)
+    # instead of an O(256)-step fixed-base scan over all n points.
+    from poly_commit_tpu.core import hostec
+
+    pool = 512
+    hg = hostec.host_group(G1)
+    gen = (G1.gen_x, G1.gen_y)
+    hpts, acc = [], gen
+    for _ in range(pool):
+        hpts.append(acc)
+        acc = hg.double(acc)
+        acc = hg.add(acc, gen)
+    fq = G1.fops.spec
+    px = F.from_ints(fq, [p[0] for p in hpts])
+    py = F.from_ints(fq, [p[1] for p in hpts])
+    sel = jnp.asarray(rng.integers(0, pool, size=n, dtype=np.int64))
+    pts = (px[sel], py[sel], jnp.zeros((n,), bool))
     pts = jax.tree_util.tree_map(jax.block_until_ready, pts)
 
     # random full-width scalars

@@ -7,8 +7,10 @@ identity leaf hash + SHA-256 two-to-one compression + Blake2s column hash —
 the same defaults here.
 
 The tree is tiny relative to the encode/MSM work (one hash per column);
-hashing therefore runs on host. A Pallas batched-hash kernel is the
-optimization path for production column counts.
+hashing therefore runs on host. Tree construction under the default
+config (identity leaf + SHA-256 compression, the reference's test
+fixture) dispatches to the native C++ batch hasher
+(poly_commit_tpu.native) when available; hashlib otherwise.
 """
 
 from __future__ import annotations
@@ -16,6 +18,8 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 from typing import Callable, List, Optional
+
+from .. import native as _native
 
 
 def sha256_compress(left: bytes, right: bytes) -> bytes:
@@ -58,6 +62,15 @@ class MerkleTree:
         padded = list(leaves) + [b""] * (size - len(leaves))
         level = [self.config.leaf_hash(l) for l in padded]
         self.levels = [level]
+        if (
+            self.config.leaf_hash is identity_leaf
+            and self.config.compress is sha256_compress
+            and len(level) > 1
+        ):
+            native_levels = _native.merkle_levels(_native.SHA256, level)
+            if native_levels is not None:
+                self.levels += native_levels
+                return
         while len(level) > 1:
             level = [
                 self.config.compress(level[i], level[i + 1])
