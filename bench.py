@@ -73,14 +73,19 @@ def main():
     sc = jnp.asarray(sc)
 
     run = jax.jit(lambda s, p: M.msm(G1, s, p))
-    out = run(sc, pts)  # compile + first run
-    jax.block_until_ready(out)
+
+    def sync(o):
+        # block_until_ready does not synchronize through the axon TPU
+        # tunnel; a host fetch of the (tiny) output coordinates does.
+        jax.block_until_ready(o)
+        return np.asarray(jax.tree_util.tree_leaves(o)[0])
+
+    sync(run(sc, pts))  # compile + first run
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = run(sc, pts)
-        jax.block_until_ready(out)
+        sync(run(sc, pts))
         times.append(time.perf_counter() - t0)
     best = min(times)
     ops = n / best
