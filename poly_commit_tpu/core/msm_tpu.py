@@ -36,7 +36,13 @@ from . import ff
 from .field_params import FieldSpec
 
 SCALAR_BITS = 256
-C_BITS = 16  # window bits (W = 16 windows); 16 % C_BITS == 0
+
+
+def C_BITS() -> int:
+    """Window bits (SCALAR_BITS/C windows; 16 % C == 0). 16 on TPU; 8 on
+    the pure-JAX CPU fallback, where the 2^16-bucket tree-sum would inline
+    into one enormous (OOM-grade) XLA:CPU graph."""
+    return 16 if jax.default_backend() == "tpu" else 8
 
 
 def _digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -66,7 +72,7 @@ def _flat(pts, L, m):
 def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
     """scalars (N, 16) plain; x/y (L, N) affine limbs; inf (N,) bool.
     Returns per-window sums S_w with coords (L, W)."""
-    c = C_BITS
+    c = C_BITS()
     n = scalars.shape[0]
     L = spec.n_limbs
     bsz = 1 << c
@@ -195,7 +201,7 @@ def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
 
 def _combine_sw_device(spec: FieldSpec, parts):
     """S_w = B*G_B - sumG on device (B = bsz-1), then the window fold."""
-    bsz = 1 << C_BITS
+    bsz = 1 << C_BITS()
     g_last = parts[:3]
     sum_g = parts[3:]
     # scalar-mul by (bsz - 1) via double-and-add over its bits
@@ -210,7 +216,7 @@ def _combine_sw_device(spec: FieldSpec, parts):
 
 def _fold_device(spec: FieldSpec, s_w):
     """sum_w 2^(c*w) S_w on device (used under traces, e.g. shard_map)."""
-    c = C_BITS
+    c = C_BITS()
     wx, wy, wz = s_w
     wlen = wx.shape[1]
     while wlen > 1:
@@ -243,7 +249,7 @@ def _to_host_pts(spec, coords):
 def _fold_host(spec: FieldSpec, parts):
     """S_w = B*G_B - sumG per window, then the Horner window fold — all on
     host ints (W points; a handful of EC ops, no tiny device launches)."""
-    bsz = 1 << C_BITS
+    bsz = 1 << C_BITS()
     grp = _host_group_for(spec)
     g_last = _to_host_pts(spec, parts[:3])
     sum_g = _to_host_pts(spec, parts[3:])
@@ -252,7 +258,7 @@ def _fold_host(spec: FieldSpec, parts):
     ]
     acc = None
     for pt in reversed(pts):
-        for _ in range(C_BITS):
+        for _ in range(C_BITS()):
             acc = grp.double(acc)
         acc = grp.add(acc, pt)
     if acc is None:
