@@ -218,7 +218,11 @@ def _ec_fn(spec: FieldSpec, which: str, n: int, use_pallas: bool):
         return tuple(outs)
 
     if not use_pallas:
-        return jax.jit(graph)
+        # Eager on purpose: jitting inlines the whole unrolled limb
+        # formula (~70k HLOs) and XLA:CPU takes ~30min/shape to compile
+        # it. Eager dispatch of the ~2k small ops costs ~tens of ms per
+        # call — the right trade for the CPU test fallback.
+        return graph
 
     from jax.experimental import pallas as pl
 

@@ -68,10 +68,26 @@ def _flat(pts, L, m):
     return tuple(cc.reshape(L, m) for cc in pts)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
     """scalars (N, 16) plain; x/y (L, N) affine limbs; inf (N,) bool.
-    Returns per-window sums S_w with coords (L, W)."""
+    Returns per-window sums S_w with coords (L, W).
+
+    On TPU the whole pipeline compiles as one program (fused Pallas EC
+    kernels keep the graph small). The pure-JAX CPU fallback runs it
+    EAGERLY instead: one monolithic XLA:CPU graph inlines every unrolled
+    limb product (millions of HLOs, >100GB compile RSS); eager mode
+    dispatches each EC op through its own small cached jit."""
+    if jax.default_backend() == "tpu":
+        return _msm_impl_jit(spec, scalars, x, y, inf)
+    return _msm_body(spec, scalars, x, y, inf)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _msm_impl_jit(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
+    return _msm_body(spec, scalars, x, y, inf)
+
+
+def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
     c = C_BITS()
     n = scalars.shape[0]
     L = spec.n_limbs
@@ -110,9 +126,23 @@ def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
         accum = EC.select(skip, accum, added)
         return accum, accum  # emit the inclusive within-lane prefix
 
-    lane_sums, prefixes = jax.lax.scan(
-        main_body, EC.infinity(spec, m), (idx_l, skip_l)
-    )
+    if jax.default_backend() == "tpu":
+        lane_sums, prefixes = jax.lax.scan(
+            main_body, EC.infinity(spec, m), (idx_l, skip_l)
+        )
+    else:
+        # CPU fallback: a Python loop keeps each madd an eager call
+        # (lax.scan would compile the unrolled formula body — ~30min on
+        # XLA:CPU). l_steps is small on CPU (t_lanes covers test sizes).
+        accum = EC.infinity(spec, m)
+        prefs = []
+        for si in range(l_steps):
+            accum, out = main_body(accum, (idx_l[si], skip_l[si]))
+            prefs.append(out)
+        lane_sums = accum
+        prefixes = tuple(
+            jnp.stack([p[k] for p in prefs], 0) for k in range(3)
+        )
     # prefixes: tuple of 3 coord arrays (S, L, m); lane_sums: coords (L, m)
 
     # ---- exclusive cross-lane prefix per window (Blelloch) ----
