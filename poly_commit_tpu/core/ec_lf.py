@@ -90,6 +90,46 @@ def _formula_madd(spec, rows_in):
     return x_out + y_out + z_out  # concatenated row lists
 
 
+def _formula_madd_distinct(spec, rows_in):
+    """madd-2007-bl WITHOUT the doubling/negation branches: 7M+4S.
+
+    Precondition: the affine point is never equal to ±accumulator (for
+    pairwise DL-independent bases — every SRS — an accumulator/point
+    collision implies a discrete-log relation; probability ~ N^2/r).
+    Only the accumulator-at-infinity case is handled (every Pippenger
+    lane starts at infinity). ~35% fewer field ops than _formula_madd.
+    """
+    x1, y1, z1, x2, y2 = rows_in[:5]
+    mul = lambda a, b: ff._mont_mul_rows(spec, a, b)
+    sqr = lambda a: ff._mont_sqr_rows(spec, a)
+    add = lambda a, b: ff._add_rows(spec, a, b)
+    sub = lambda a, b: ff._sub_rows(spec, a, b)
+
+    z1z1 = sqr(z1)
+    u2 = mul(x2, z1z1)
+    s2 = mul(mul(y2, z1), z1z1)
+    h = sub(u2, x1)
+    hh = sqr(h)
+    i = add(add(hh, hh), add(hh, hh))
+    j = mul(h, i)
+    r0 = sub(s2, y1)
+    r = add(r0, r0)
+    v = mul(x1, i)
+    r2 = sqr(r)
+    x3 = sub(sub(r2, j), add(v, v))
+    y1j = mul(y1, j)
+    y3 = sub(mul(r, sub(v, x3)), add(y1j, y1j))
+    z1h = add(z1, h)
+    z3 = sub(sub(sqr(z1h), z1z1), hh)
+
+    p_inf = ff_is_zero_rows(spec, z1)
+    one_rows = ff_one_rows(spec, x1[0].shape)
+    x_out = [jnp.where(p_inf, fv, ov) for fv, ov in zip(x2, x3)]
+    y_out = [jnp.where(p_inf, fv, ov) for fv, ov in zip(y2, y3)]
+    z_out = [jnp.where(p_inf, fv, ov) for fv, ov in zip(one_rows, z3)]
+    return x_out + y_out + z_out
+
+
 def _formula_add(spec, rows_in):
     """add-2007-bl (Jacobian + Jacobian) with edge selects."""
     x1, y1, z1, x2, y2, z2 = rows_in
@@ -199,6 +239,7 @@ def ff_one_rows(spec, shape):
 
 _FORMULAS = {
     "madd": (_formula_madd, 5),
+    "madd_distinct": (_formula_madd_distinct, 5),
     "add": (_formula_add, 6),
     "double": (_formula_double, 3),
 }
@@ -268,6 +309,12 @@ def _dispatch(spec, which, *coords):
 def madd(spec, p, xq, yq):
     """Jacobian p + affine (xq, yq); complete (handles inf/dbl/neg)."""
     return _dispatch(spec, "madd", p[0], p[1], p[2], xq, yq)
+
+
+def madd_distinct(spec, p, xq, yq):
+    """Jacobian p + affine (xq, yq), assuming q != ±p (see
+    _formula_madd_distinct). Handles p at infinity only."""
+    return _dispatch(spec, "madd_distinct", p[0], p[1], p[2], xq, yq)
 
 
 def add(spec, p, q):

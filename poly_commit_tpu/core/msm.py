@@ -102,7 +102,8 @@ def _fast_path_ok(group) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | None = None):
+def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | None = None,
+        assume_distinct: bool = False):
     """MSM: sum_i scalars[i] * points[i].
 
     group:   WeierstrassGroup / EdwardsGroup (static).
@@ -116,6 +117,10 @@ def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | 
 
     On TPU, supported curves dispatch to the limbs-first fused-Pallas path
     (core/msm_tpu.py); explicit c/lanes pins the portable kernel (tests).
+    assume_distinct: bases are pairwise DL-independent (true for every SRS;
+    arkworks' msm_bigint has the same implicit expectation for speed) —
+    enables the fast path's branch-reduced madd; ignored by the portable
+    kernel (complete formulas).
     """
     if c is None and lanes is None and _fast_path_ok(group):
         from . import ff
@@ -129,6 +134,7 @@ def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | 
             ff.from_field_last(x),
             ff.from_field_last(y),
             inf,
+            assume_distinct,
         )
         # ff keeps values in [0, 2p); downstream field.py assumes < p
         return tuple(ff.canonicalize(spec, cc)[:, 0] for cc in out)

@@ -68,7 +68,8 @@ def _flat(pts, L, m):
     return tuple(cc.reshape(L, m) for cc in pts)
 
 
-def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
+def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
+              assume_distinct: bool = False):
     """scalars (N, 16) plain; x/y (L, N) affine limbs; inf (N,) bool.
     Returns per-window sums S_w with coords (L, W).
 
@@ -78,16 +79,18 @@ def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
     limb product (millions of HLOs, >100GB compile RSS); eager mode
     dispatches each EC op through its own small cached jit."""
     if jax.default_backend() == "tpu":
-        return _msm_impl_jit(spec, scalars, x, y, inf)
-    return _msm_body(spec, scalars, x, y, inf)
+        return _msm_impl_jit(spec, scalars, x, y, inf, assume_distinct)
+    return _msm_body(spec, scalars, x, y, inf, assume_distinct)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _msm_impl_jit(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
-    return _msm_body(spec, scalars, x, y, inf)
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _msm_impl_jit(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
+                  assume_distinct: bool = False):
+    return _msm_body(spec, scalars, x, y, inf, assume_distinct)
 
 
-def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
+def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
+              assume_distinct: bool = False):
     c = C_BITS()
     n = scalars.shape[0]
     L = spec.n_limbs
@@ -122,7 +125,10 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
         idx, skip = inp
         px = jnp.take(x, idx, axis=1)
         py = jnp.take(y, idx, axis=1)
-        added = EC.madd(spec, accum, px, py)
+        if assume_distinct:
+            added = EC.madd_distinct(spec, accum, px, py)
+        else:
+            added = EC.madd(spec, accum, px, py)
         accum = EC.select(skip, accum, added)
         return accum, accum  # emit the inclusive within-lane prefix
 
@@ -313,8 +319,14 @@ def _host_group_for(spec: FieldSpec):
     return HostWeierstrass(_Fp(q), order)
 
 
-def msm(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
+def msm(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
+        assume_distinct: bool = False):
     """Pad N to a power of two (>= T) and run; returns Jacobian coords (L, 1).
+
+    assume_distinct: the bases are pairwise DL-independent (true for every
+    SRS), enabling the branch-free madd without the doubling path — ~35%
+    fewer field ops in the main scan. NOT safe for adversarial inputs with
+    repeated points.
 
     The final window fold runs on host when inputs are concrete, on device
     under traces (e.g. inside shard_map)."""
@@ -325,7 +337,7 @@ def msm(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
     if n > chunk:
         parts = [
             msm(spec, scalars[s : s + chunk], x[:, s : s + chunk],
-                y[:, s : s + chunk], inf[s : s + chunk])
+                y[:, s : s + chunk], inf[s : s + chunk], assume_distinct)
             for s in range(0, n, chunk)
         ]
         acc = parts[0]
@@ -338,7 +350,7 @@ def msm(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf):
         x = jnp.pad(x, ((0, 0), (0, n2 - n)))
         y = jnp.pad(y, ((0, 0), (0, n2 - n)))
         inf = jnp.pad(inf, (0, n2 - n), constant_values=True)
-    parts = _msm_impl(spec, scalars, x, y, inf)
+    parts = _msm_impl(spec, scalars, x, y, inf, assume_distinct)
     import jax.core
 
     if isinstance(parts[0], jax.core.Tracer):

@@ -106,3 +106,32 @@ def test_fast_msm_matches_reference(rng):
         if not inf[i]:
             exp = REF.add(exp, REF.mul(p, s))
     assert got == exp
+
+
+def test_fast_msm_assume_distinct(rng):
+    """assume_distinct path (branch-reduced madd) on DL-independent bases."""
+    from poly_commit_tpu.core import msm_tpu
+
+    n = 130
+    ks = [int(rng.integers(1, 1 << 30)) for _ in range(n)]
+    pts = [REF.mul(GEN, k) for k in ks]
+    scal = [
+        int.from_bytes(rng.bytes(40), "little") % FP.BLS12_381_R
+        for _ in range(n)
+    ]
+    scal[0] = 0
+    X = ff.from_ints(SPEC, [p[0] for p in pts])
+    Y = ff.from_ints(SPEC, [p[1] for p in pts])
+    sc = np.zeros((n, 16), np.uint32)
+    for i, v in enumerate(scal):
+        for j in range(16):
+            sc[i, j] = (v >> (16 * j)) & 0xFFFF
+    inf = np.zeros((n,), bool)
+    out = msm_tpu.msm(
+        SPEC, jnp.asarray(sc), X, Y, jnp.asarray(inf), assume_distinct=True
+    )
+    got = _to_host(out)[0]
+    exp = None
+    for s, p in zip(scal, pts):
+        exp = REF.add(exp, REF.mul(p, s))
+    assert got == exp
