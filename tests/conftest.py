@@ -16,7 +16,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # EC-heavy graphs (MSM/pairing scans) compile slowly on XLA:CPU; cache them.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# NOTE: the CPU cache dir is SEPARATE from the TPU one (.jax_cache): axon
+# (remote-TPU) runs compile on the server machine and persist CPU-AOT
+# executables for the *server's* microarchitecture — loading those in a
+# local CPU process SIGILL/segfaults. Never share the two dirs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
