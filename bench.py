@@ -8,7 +8,11 @@ The MSM is the reference's universal hot kernel (arkworks
 BASELINE.md (ARKWORKS_CPU_MSM_OPS_PER_S below): multi-threaded Pippenger on
 the reference's stack, ~1.2e6 points/s at 2^20 on a modern 16-core CPU.
 
-Env knobs: BENCH_MSM_LOG_N (default 16), BENCH_ITERS (default 3).
+Env knobs:
+  BENCH_METRIC    msm (default) | ntt | kzg
+  BENCH_MSM_LOG_N log2 problem size (default 20; domain size for ntt,
+                  degree for kzg)
+  BENCH_ITERS     timing iterations (default 2)
 """
 
 from __future__ import annotations
@@ -22,32 +26,45 @@ import numpy as np
 ARKWORKS_CPU_MSM_OPS_PER_S = 1.2e6  # see BASELINE.md "CPU comparison point"
 
 
-def main():
+def _setup_jax():
     import jax
 
+    # separate CPU/TPU cache dirs — remote-TPU (axon) compiles persist
+    # server-microarchitecture CPU-AOT entries that segfault local CPU runs
+    cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    path = "/root/repo/.jax_cache_cpu" if cpu else "/root/repo/.jax_cache"
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
+    return jax
+
+
+def _sync(jax, o):
+    # block_until_ready does not synchronize through the axon TPU tunnel;
+    # a host fetch of the (tiny) first output leaf does.
+    jax.block_until_ready(o)
+    return np.asarray(jax.tree_util.tree_leaves(o)[0])
+
+
+def _time_best(jax, fn, iters):
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(jax, fn())
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _distinct_points(jax, G1, n, log_n):
+    """DISTINCT points {1..n}*G (matching arkworks' bench inputs, distinct
+    SRS-like bases) in O(sqrt n) host work: a two-level split
+    (j*K + k)*G = A_j + B_k with host walks for A and B, one batched
+    device madd for the outer sum, one batch-normalization."""
     import jax.numpy as jnp
 
-    from poly_commit_tpu.core import curve as C
-    from poly_commit_tpu.core import field as F
-    from poly_commit_tpu.core import msm as M
-    from poly_commit_tpu.core.field_params import FR_BLS12_381
-
-    log_n = int(os.environ.get("BENCH_MSM_LOG_N", "20"))
-    iters = int(os.environ.get("BENCH_ITERS", "2"))
-    n = 1 << log_n
-    G1 = C.BLS12_381_G1
-
-    rng = np.random.default_rng(42)
-    # DISTINCT points {1..n}*G (matching arkworks' bench inputs, distinct
-    # SRS-like bases) built in O(sqrt n) host work: a two-level split
-    # (j*K + k)*G = A_j + B_k with host walks for A and B, one batched
-    # device madd for the outer sum, one batch-normalization.
     from poly_commit_tpu.core import ec_lf, ff, hostec
 
     K = 1 << ((log_n + 1) // 2)
@@ -76,59 +93,130 @@ def main():
     rep = lambda a: jnp.repeat(a, K, axis=1)  # A index varies slowly
     til = lambda a: jnp.tile(a, (1, J))
     pj = jax.jit(
-        lambda AX, AY, AZ, BX, BY: ec_lf.madd(fq, (rep(AX), rep(AY), rep(AZ)), til(BX), til(BY)),
-        static_argnums=(),
+        lambda AX, AY, AZ, BX, BY: ec_lf.madd(
+            fq, (rep(AX), rep(AY), rep(AZ)), til(BX), til(BY)
+        )
     )(ax, ay, az, bx, by)
     # -> portable limbs-last layout, batch-normalized affine
     proj = tuple(ff.to_field_last(ff.canonicalize(fq, cc), (n,)) for cc in pj)
-    px, py, pinf = G1.to_affine(proj)
-    pts = (px, py, pinf)
-    pts = jax.tree_util.tree_map(jax.block_until_ready, pts)
+    pts = G1.to_affine(proj)
+    return jax.tree_util.tree_map(jax.block_until_ready, pts), hg, gen, fq
 
-    # random full-width scalars
+
+def bench_msm(jax, log_n, iters):
+    import jax.numpy as jnp
+
+    from poly_commit_tpu.core import curve as C
+    from poly_commit_tpu.core import field as F
+    from poly_commit_tpu.core import msm as M
+
+    n = 1 << log_n
+    G1 = C.BLS12_381_G1
+    rng = np.random.default_rng(42)
+    pts, hg, gen, fq = _distinct_points(jax, G1, n, log_n)
+
     sc = np.asarray(
         rng.integers(0, 1 << 16, size=(n, 16), dtype=np.int64), np.uint32
     )
     sc = jnp.asarray(sc)
-
     run = jax.jit(lambda s, p: M.msm(G1, s, p, assume_distinct=True))
-
-    def sync(o):
-        # block_until_ready does not synchronize through the axon TPU
-        # tunnel; a host fetch of the (tiny) output coordinates does.
-        jax.block_until_ready(o)
-        return np.asarray(jax.tree_util.tree_leaves(o)[0])
 
     out0 = run(sc, pts)  # compile + first run
     jax.block_until_ready(out0)
     # self-check: with P_i = (i+1)*G the expected sum is (sum s_i*(i+1))*G
     sc_ints = [
-        sum(int(v) << (16 * j) for j, v in enumerate(row)) for row in np.asarray(sc)
+        sum(int(v) << (16 * j) for j, v in enumerate(row))
+        for row in np.asarray(sc)
     ]
-    order = hg.order
-    total = sum(s * (i + 1) for i, s in enumerate(sc_ints)) % order
+    total = sum(s * (i + 1) for i, s in enumerate(sc_ints)) % hg.order
     exp = hg.mul(gen, total)
     got_x, got_y, got_inf = G1.to_affine(out0)
     got = (F.to_ints(fq, got_x), F.to_ints(fq, got_y))
     assert not bool(np.asarray(got_inf)) and got == exp, "MSM self-check failed"
 
+    best = _time_best(jax, lambda: run(sc, pts), iters)
+    ops = n / best
+    return {
+        "metric": f"msm_g1_bls12_381_2^{log_n}",
+        "value": round(ops, 1),
+        "unit": "points/s",
+        "vs_baseline": round(ops / ARKWORKS_CPU_MSM_OPS_PER_S, 4),
+    }
+
+
+def bench_ntt(jax, log_n, iters):
+    """Radix-2 NTT over Fr(BLS12-381); BASELINE.md targets 2^22."""
+    from poly_commit_tpu.core import field as F
+    from poly_commit_tpu.core import ntt as NTT
+    from poly_commit_tpu.core.field_params import FR_BLS12_381
+
+    spec = FR_BLS12_381
+    n = 1 << log_n
+    rng = np.random.default_rng(7)
+    ints = [int.from_bytes(rng.bytes(32), "little") % spec.modulus for _ in range(256)]
+    coeffs = F.from_ints(spec, ints * (n // 256))
+    run = jax.jit(lambda a: NTT.ntt(spec, a))
+    _sync(jax, run(coeffs))
+    best = _time_best(jax, lambda: run(coeffs), iters)
+    # ~ (n/2) log2(n) butterflies; report elements/s for scale-independence
+    return {
+        "metric": f"ntt_fr_bls12_381_2^{log_n}",
+        "value": round(n / best, 1),
+        "unit": "elements/s",
+        "vs_baseline": 0.0,  # no arkworks-side figure recorded
+    }
+
+
+def bench_kzg(jax, log_n, iters):
+    """KZG commit+open wall-clock at degree 2^log_n (BASELINE.md target)."""
+    import jax.numpy as jnp
+
+    from poly_commit_tpu.core import field as F
+    from poly_commit_tpu.core.field_params import FR_BLS12_381
+    from poly_commit_tpu.pcs import kzg10
+    from poly_commit_tpu.pcs.data_structures import HostRng
+
+    spec = FR_BLS12_381
+    degree = 1 << log_n
+    rng = HostRng(3)
+    pp = kzg10.setup(degree, rng=rng)
+    powers = kzg10.trim_powers(pp, degree)
+    nrng = np.random.default_rng(5)
+    ints = [
+        int.from_bytes(nrng.bytes(32), "little") % spec.modulus
+        for _ in range(256)
+    ]
+    coeffs = F.from_ints(spec, ints * (degree // 256) + ints[:1])
+    point = rng.field_int(spec)
+
+    def run():
+        comm = kzg10.commit(powers, coeffs)
+        proof = kzg10.open(powers, coeffs, point, comm[1])
+        return comm, proof
+
+    run()  # compile
+    # commit/open return host-materialized structures; time plainly
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        sync(run(sc, pts))
+        run()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    ops = n / best
-    print(
-        json.dumps(
-            {
-                "metric": f"msm_g1_bls12_381_2^{log_n}",
-                "value": round(ops, 1),
-                "unit": "points/s",
-                "vs_baseline": round(ops / ARKWORKS_CPU_MSM_OPS_PER_S, 4),
-            }
-        )
-    )
+    return {
+        "metric": f"kzg_commit_open_2^{log_n}",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": 0.0,  # no arkworks-side figure recorded
+    }
+
+
+def main():
+    jax = _setup_jax()
+    metric = os.environ.get("BENCH_METRIC", "msm")
+    log_n = int(os.environ.get("BENCH_MSM_LOG_N", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "2"))
+    fn = {"msm": bench_msm, "ntt": bench_ntt, "kzg": bench_kzg}[metric]
+    print(json.dumps(fn(jax, log_n, iters)))
 
 
 if __name__ == "__main__":

@@ -132,7 +132,7 @@ def _ip(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def _pedersen(key_aff, scalars_mont, h_host=None, rand_int=None):
     """MSM + optional hiding term; returns host (x, y, inf) triple."""
-    pt = M.msm_mont(GROUP, scalars_mont, key_aff)
+    pt = M.msm_mont(GROUP, scalars_mont, key_aff, assume_distinct=True)
     from ..core.serialize import device_point_to_ints
 
     host = hostec.triple_to_host(device_point_to_ints(GROUP, pt))
@@ -331,7 +331,7 @@ def _commit_rows(ck, mat: jnp.ndarray, rand_mont: jnp.ndarray):
     plain_rows = F.from_mont(SPEC, mat)  # (dim, dim, L) plain scalars
 
     def one_row(row_scalars):
-        return M.msm(GROUP, row_scalars, ck.com_key)
+        return M.msm(GROUP, row_scalars, ck.com_key, assume_distinct=True)
 
     row_pts = jax.vmap(one_row)(plain_rows)  # projective, batch (dim,)
     # hiding terms: r_i * h (batched fixed-base mul)

@@ -227,7 +227,7 @@ def _cm_commit(key_aff, coeffs_mont, s_host=None, randomizer=None):
     c = coeffs_mont
     if c.shape[0] < n:
         c = jnp.pad(c, ((0, n - c.shape[0]), (0, 0)))
-    pt = M.msm_mont(GROUP, c, key_aff)
+    pt = M.msm_mont(GROUP, c, key_aff, assume_distinct=True)
     host = _to_host(pt)
     if randomizer is not None:
         host = HGROUP.add(host, HGROUP.mul(s_host, randomizer))
@@ -415,14 +415,14 @@ class InnerProductArgPC(PolynomialCommitment):
             ip_l = _inner_product(c_r, z_l)
             ip_r = _inner_product(c_l, z_r)
             l_pt = GROUP.add(
-                M.msm_mont(GROUP, c_r, k_l),
+                M.msm_mont(GROUP, c_r, k_l, assume_distinct=True),
                 GROUP.scalar_mul(
                     GROUP.from_affine(*(a[0] for a in h_prime_dev)),
                     C.scalar_bits(int(F.to_ints(SPEC, ip_l)), 256),
                 ),
             )
             r_pt = GROUP.add(
-                M.msm_mont(GROUP, c_l, k_r),
+                M.msm_mont(GROUP, c_l, k_r, assume_distinct=True),
                 GROUP.scalar_mul(
                     GROUP.from_affine(*(a[0] for a in h_prime_dev)),
                     C.scalar_bits(int(F.to_ints(SPEC, ip_r)), 256),

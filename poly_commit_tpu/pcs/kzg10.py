@@ -197,7 +197,8 @@ def commit(powers: Powers, coeffs: jnp.ndarray, hiding_bound: Optional[int] = No
     Returns (Commitment, Randomness).
     """
     check_degree_is_too_large(coeffs.shape[0] - 1, powers.size())
-    pt = M.msm_mont(G1, _pad_to(coeffs, powers.size()), powers.powers_of_g)
+    pt = M.msm_mont(G1, _pad_to(coeffs, powers.size()), powers.powers_of_g,
+                    assume_distinct=True)
     rand = Randomness()
     if hiding_bound is not None:
         if rng is None:
@@ -215,7 +216,8 @@ def commit(powers: Powers, coeffs: jnp.ndarray, hiding_bound: Optional[int] = No
         blind = F.from_ints(SPEC, ints)
         rand = Randomness(blinding_polynomial=blind)
         ng = int(powers.powers_of_gamma_g[0].shape[0])
-        hpt = M.msm_mont(G1, _pad_to(blind, ng), powers.powers_of_gamma_g)
+        hpt = M.msm_mont(G1, _pad_to(blind, ng), powers.powers_of_gamma_g,
+                         assume_distinct=True)
         pt = G1.add(pt, hpt)
     return Commitment(point=_to_host(pt)), rand
 
@@ -228,7 +230,8 @@ def open(powers: Powers, coeffs: jnp.ndarray, point_int: int, rand: Randomness) 
     if witness.shape[0] == 0:
         w_pt = G1.infinity(())
     else:
-        w_pt = M.msm_mont(G1, _pad_to(witness, powers.size()), powers.powers_of_g)
+        w_pt = M.msm_mont(G1, _pad_to(witness, powers.size()), powers.powers_of_g,
+                          assume_distinct=True)
     random_v = None
     if rand.is_hiding():
         blind = rand.blinding_polynomial
@@ -236,7 +239,8 @@ def open(powers: Powers, coeffs: jnp.ndarray, point_int: int, rand: Randomness) 
         random_v = F.to_ints(SPEC, brem)
         if bw.shape[0] > 0:
             ng = int(powers.powers_of_gamma_g[0].shape[0])
-            hw = M.msm_mont(G1, _pad_to(bw, ng), powers.powers_of_gamma_g)
+            hw = M.msm_mont(G1, _pad_to(bw, ng), powers.powers_of_gamma_g,
+                            assume_distinct=True)
             w_pt = G1.add(w_pt, hw)
     return Proof(w=_to_host(w_pt), random_v=random_v)
 

@@ -262,7 +262,9 @@ class MarlinKZG10(PolynomialCommitment):
 
             sp_all = ck.shifted_powers_for(None)
             w_pt = M.msm_mont(
-                BLS12_381_G1, shifted_w, tuple(a[: shifted_w.shape[0]] for a in sp_all)
+                BLS12_381_G1, shifted_w,
+                tuple(a[: shifted_w.shape[0]] for a in sp_all),
+                assume_distinct=True,
             )
             if shifted_r_witness is not None:
                 hw = M.msm_mont(

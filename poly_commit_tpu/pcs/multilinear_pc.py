@@ -148,7 +148,7 @@ def commit(ck: CommitterKey, table: jnp.ndarray) -> Commitment:
     """table: (2^nv, L) Montgomery evaluation table (mod.rs:114-128)."""
     nv = int(table.shape[0]).bit_length() - 1
     assert table.shape[0] == 1 << nv
-    pt = M.msm_mont(G1, table, ck.powers_of_g[0])
+    pt = M.msm_mont(G1, table, ck.powers_of_g[0], assume_distinct=True)
     return Commitment(nv=nv, g_product=device_point_to_ints(G1, pt))
 
 
@@ -167,7 +167,7 @@ def open(ck: CommitterKey, table: jnp.ndarray, point) -> Proof:
         r = P.mle_fold(SPEC, r, z)
         # scalars[x] = q[x >> 1]: duplicate each quotient entry
         dup = jnp.repeat(q, 2, axis=0)
-        pi_h = M.msm_mont(G2, dup, ck.powers_of_h[i])
+        pi_h = M.msm_mont(G2, dup, ck.powers_of_h[i], assume_distinct=True)
         proofs.append(device_points_to_ints(G2, tuple(a[None] for a in pi_h))[0])
     return Proof(proofs=proofs)
 

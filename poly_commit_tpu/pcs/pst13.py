@@ -335,7 +335,8 @@ class MarlinPST13(PolynomialCommitment):
             coeffs.append(c)
         idx = jnp.asarray(rows, jnp.int32)
         key = tuple(jnp.take(a, idx, axis=0) for a in ck.powers_of_g)
-        return M.msm(G1, M.scalars_from_ints(SPEC, coeffs), key)
+        return M.msm(G1, M.scalars_from_ints(SPEC, coeffs), key,
+                     assume_distinct=True)
 
     @classmethod
     def _gamma_msm(cls, ck, blind: MVPoly):

@@ -103,7 +103,7 @@ class CommitterKey:
     def commit(self, coeffs: jnp.ndarray) -> Commitment:
         """coeffs (D+1, L) Montgomery (time.rs:72-74)."""
         c = _pad(coeffs, int(self.powers_of_g[0].shape[0]))
-        pt = M.msm_mont(G1, c, self.powers_of_g)
+        pt = M.msm_mont(G1, c, self.powers_of_g, assume_distinct=True)
         return Commitment(device_point_to_ints(G1, pt))
 
     def batch_commit(self, polys) -> list:
@@ -118,7 +118,7 @@ class CommitterKey:
             e = min(s + chunk, n)
             seg = _pad(coeffs[s:e], chunk)
             key = tuple(a[s : s + chunk] for a in _pad_key(self.powers_of_g, s + chunk))
-            acc = G1.add(acc, M.msm_mont(G1, seg, key))
+            acc = G1.add(acc, M.msm_mont(G1, seg, key, assume_distinct=True))
         return Commitment(device_point_to_ints(G1, acc))
 
     # -- openings ----------------------------------------------------------
@@ -134,6 +134,7 @@ class CommitterKey:
                 G1,
                 _pad(quotient, int(self.powers_of_g[0].shape[0])),
                 self.powers_of_g,
+                assume_distinct=True,
             )
         return evaluation, EvaluationProof(device_point_to_ints(G1, w))
 
