@@ -310,7 +310,31 @@ def _msm_impl(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: 
 
 
 def fixed_base_mul(group, base, scalars: jnp.ndarray):
-    """Power-of-two-padded wrapper (one compiled program per log2 N)."""
+    """Power-of-two-padded wrapper (one compiled program per log2 N).
+
+    Fast-path-eligible curves (see _fast_path_ok) use the limbs-first
+    windowed-table path (core/msm_tpu.py::fixed_base) — the portable scan
+    below compiles enormous XLA:CPU graphs when the backend lowers it to
+    the host."""
+    if _fast_path_ok(group):
+        if jax.default_backend() == "tpu":
+            from . import ff
+            from . import msm_tpu
+
+            spec = group.fops.spec
+            bx, by, binf = group.to_affine(base)
+            L = spec.n_limbs
+            out = msm_tpu.fixed_base(
+                spec,
+                ff.from_field_last(bx.reshape(1, L)),
+                ff.from_field_last(by.reshape(1, L)),
+                scalars,
+            )
+            n = scalars.shape[0]
+            return tuple(
+                ff.to_field_last(ff.canonicalize(spec, cc), (n,)) for cc in out
+            )
+        return _fixed_base_host(group, base, scalars)
     n0 = scalars.shape[0]
     n_pow2 = 1 << max(0, (n0 - 1).bit_length())
     if n_pow2 != n0:
@@ -319,6 +343,39 @@ def fixed_base_mul(group, base, scalars: jnp.ndarray):
     if n_pow2 != n0:
         out = jax.tree_util.tree_map(lambda a: a[:n0], out)
     return out
+
+
+def _fixed_base_host(group, base, scalars: jnp.ndarray):
+    """CPU fallback for the fast-path curves: windowed mul per scalar on
+    host ints (setup-only code; device work would be either an eager
+    dispatch storm or an enormous XLA:CPU compile)."""
+    from . import hostec
+
+    spec = group.fops.spec
+    hg = hostec.host_group(group)
+    bx, by, binf = group.to_affine(base)
+    bpt = None if bool(np.asarray(binf)) else (
+        F.to_ints(spec, bx),
+        F.to_ints(spec, by),
+    )
+    arr = np.asarray(scalars, np.uint64)
+    outs_x, outs_y, outs_inf = [], [], []
+    for i in range(arr.shape[0]):
+        s = 0
+        for j in reversed(range(arr.shape[1])):
+            s = (s << 16) + int(arr[i, j])
+        p = hg.mul(bpt, s)
+        if p is None:
+            outs_x.append(0)
+            outs_y.append(1)
+            outs_inf.append(True)
+        else:
+            outs_x.append(p[0])
+            outs_y.append(p[1])
+            outs_inf.append(False)
+    x = F.from_ints(spec, outs_x)
+    y = F.from_ints(spec, outs_y)
+    return group.from_affine(x, y, jnp.asarray(np.asarray(outs_inf)))
 
 
 @functools.partial(jax.jit, static_argnums=0)

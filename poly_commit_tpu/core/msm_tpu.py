@@ -356,3 +356,133 @@ def msm(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
     if isinstance(parts[0], jax.core.Tracer):
         return _fold_device(spec, _combine_sw_device(spec, parts))
     return _fold_host(spec, parts)
+
+
+# ---------------------------------------------------------------------------
+# fixed-base batch multiplication (arkworks batch_mul / BatchMulPreprocessing,
+# kzg10/mod.rs:76-104 — every scheme's SRS setup)
+# ---------------------------------------------------------------------------
+
+FB_C = 8  # window bits for the table
+
+
+def _fb_windows():
+    return SCALAR_BITS // FB_C
+
+
+def _fixed_base_body(spec: FieldSpec, gx, gy, scalars: jnp.ndarray):
+    """gx/gy: (L, 1) affine limbs of the base; scalars (N, 16) plain.
+    Returns Jacobian coords (L, N). Structure mirrors _msm_body: scans/fused
+    kernels on TPU, eager Python loops on the CPU fallback."""
+    W = _fb_windows()
+    bsz = 1 << FB_C
+    n = scalars.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+
+    # stride points S_w = 2^(FB_C*w) * g for w = 0..W-1: 256 sequential
+    # doubles of g, keeping every FB_C-th
+    def dbl_body(p, _):
+        p2 = EC.double(spec, p)
+        return p2, p
+
+    g0 = EC.from_affine(spec, gx, gy)
+    if on_tpu:
+        _, emitted = jax.lax.scan(dbl_body, g0, None, length=SCALAR_BITS)
+        strides = tuple(cc[:: FB_C, :, 0].T for cc in emitted)  # (L, W)
+    else:
+        outs = []
+        p = g0
+        for _ in range(W):
+            outs.append(p)
+            for _ in range(FB_C):
+                p = EC.double(spec, p)
+        strides = tuple(
+            jnp.concatenate([o[k] for o in outs], axis=1) for k in range(3)
+        )
+
+    # walk the tables: T[w][d] = T[w][d-1] + S_w, T[w][1] = S_w; d=0 is
+    # handled by skip masks at application time. Strides are Jacobian, so
+    # normalize to affine first (batch inversion over W lanes).
+    sx, sy = _jacobian_to_affine(spec, strides)
+
+    def walk_body(acc, _):
+        nxt = EC.add(spec, acc, EC.from_affine(spec, sx, sy))
+        return nxt, acc
+
+    start = EC.from_affine(spec, sx, sy)
+    if on_tpu:
+        _, table = jax.lax.scan(walk_body, start, None, length=bsz - 1)
+        # table[d] = (d+1) * S_w, coords (bsz-1, L, W)
+    else:
+        rows = []
+        p = start
+        for _ in range(bsz - 1):
+            rows.append(p)
+            p = EC.add(spec, p, EC.from_affine(spec, sx, sy))
+        table = tuple(
+            jnp.stack([r[k] for r in rows], axis=0) for k in range(3)
+        )
+
+    digs = _digits(scalars, FB_C)  # (W, N)
+
+    # accumulate: acc += T[w][d-1] when d > 0
+    table_t = tuple(jnp.moveaxis(cc, 2, 0) for cc in table)  # (W, bsz-1, L)
+
+    def apply_body(acc, inp):
+        d, tx, ty, tz = inp  # d (N,); t* (bsz-1, L)
+        idx = jnp.clip(d.astype(jnp.int32) - 1, 0)
+        tw = (tx[idx].T, ty[idx].T, tz[idx].T)  # (L, N)
+        added = EC.add(spec, acc, tw)
+        return EC.select(d == 0, acc, added), None
+
+    if on_tpu:
+        acc, _ = jax.lax.scan(
+            apply_body, EC.infinity(spec, n), (digs,) + table_t
+        )
+    else:
+        acc = EC.infinity(spec, n)
+        for w in range(W):
+            acc, _ = apply_body(
+                acc, (digs[w],) + tuple(t[w] for t in table_t)
+            )
+    return acc
+
+
+def _jacobian_to_affine(spec: FieldSpec, p):
+    """(x, y, z) (L, M) -> affine (x, y) via per-lane Fermat inversion of z
+    (M is tiny — the W stride points — so a plain pow chain is fine)."""
+    x, y, z = p
+    zi = _ff_inv(spec, z)
+    zi2 = ff.mont_mul(spec, zi, zi)
+    return (
+        ff.mont_mul(spec, x, zi2),
+        ff.mont_mul(spec, y, ff.mont_mul(spec, zi2, zi)),
+    )
+
+
+def _ff_inv(spec: FieldSpec, a):
+    """Fermat inverse on (L, M) limbs-first arrays: one lax.scan over the
+    bits of p-2 (square-and-multiply) so the compiled program holds a
+    single squaring/multiply kernel instead of ~770 unrolled ones."""
+    e = spec.modulus - 2
+    bits = jnp.asarray([int(b) for b in bin(e)[2:]], jnp.uint32)
+
+    def body(acc, bit):
+        acc = ff.mont_mul(spec, acc, acc)
+        with_mul = ff.mont_mul(spec, acc, a)
+        return jnp.where(bit.astype(bool), with_mul, acc), None
+
+    acc, _ = jax.lax.scan(body, ff.one_mont(spec, a.shape[1]), bits)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fixed_base_jit(spec: FieldSpec, gx, gy, scalars):
+    return _fixed_base_body(spec, gx, gy, scalars)
+
+
+def fixed_base(spec: FieldSpec, gx, gy, scalars: jnp.ndarray):
+    """Fast-path fixed-base batch mul; see core/msm.py::fixed_base_mul."""
+    if jax.default_backend() == "tpu":
+        return _fixed_base_jit(spec, gx, gy, scalars)
+    return _fixed_base_body(spec, gx, gy, scalars)

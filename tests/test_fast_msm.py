@@ -135,3 +135,33 @@ def test_fast_msm_assume_distinct(rng):
     for s, p in zip(scal, pts):
         exp = REF.add(exp, REF.mul(p, s))
     assert got == exp
+
+
+def test_fast_fixed_base_matches_reference(rng):
+    """fixed_base_mul fast-path dispatch (host fallback on CPU; the
+    windowed-table device path runs on TPU) vs reference double-and-add."""
+    from poly_commit_tpu.core import curve as C
+    from poly_commit_tpu.core import msm as M
+
+    G1 = C.BLS12_381_G1
+    n = 20
+    scal = [
+        int.from_bytes(rng.bytes(40), "little") % FP.BLS12_381_R
+        for _ in range(n)
+    ]
+    scal[0] = 0
+    scal[1] = 1
+    scal[2] = 256  # digit boundary
+    sc = np.zeros((n, 16), np.uint32)
+    for i, v in enumerate(scal):
+        for j in range(16):
+            sc[i, j] = (v >> (16 * j)) & 0xFFFF
+    x, y, inf = G1.to_affine(M.fixed_base_mul(G1, G1.generator(), jnp.asarray(sc)))
+    from poly_commit_tpu.core import field as F
+
+    got = [
+        None if bool(i_) else (xv, yv)
+        for xv, yv, i_ in zip(F.to_ints(SPEC, x), F.to_ints(SPEC, y), np.asarray(inf))
+    ]
+    exp = [REF.mul(GEN, s) for s in scal]
+    assert got == exp
