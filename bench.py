@@ -58,11 +58,17 @@ def _time_best(jax, fn, iters):
     return min(times)
 
 
-def _distinct_points(jax, G1, n, log_n):
-    """DISTINCT points {1..n}*G (matching arkworks' bench inputs, distinct
-    SRS-like bases) in O(sqrt n) host work: a two-level split
-    (j*K + k)*G = A_j + B_k with host walks for A and B, one batched
-    device madd for the outer sum, one batch-normalization."""
+def _distinct_points(jax, G1, n, log_n, rng):
+    """n DISTINCT pseudorandom-exponent points e_i*G in O(sqrt n) host work.
+
+    Two-level split P_{jK+k} = A_j + B_k where both walks are
+    shift-and-add (X_{t} = 2^16 X_{t-1} + r_t*G with small random r_t), so
+    exponents mix over the full 255-bit range after a few steps — like a
+    real SRS (powers of a secret beta), and unlike small sequential
+    multiples, Pippenger partial sums cannot collide with later bases
+    (that broke the distinct-bases madd at 2^16). Exponents are tracked on
+    host mod r, so callers can self-check the MSM result in closed form.
+    Returns (points, exponents, host_group, generator, field_spec)."""
     import jax.numpy as jnp
 
     from poly_commit_tpu.core import ec_lf, ff, hostec
@@ -71,23 +77,28 @@ def _distinct_points(jax, G1, n, log_n):
     J = n // K
     hg = hostec.host_group(G1)
     gen = (G1.gen_x, G1.gen_y)
-    b_pts, acc = [], gen
-    for _ in range(K):  # B_k = (k+1)*G, k = 0..K-1
-        b_pts.append(acc)
-        acc = hg.add(acc, gen)
-    stride = hg.mul(gen, K)
-    a_pts, acc = [None], stride  # A_j = (j*K)*G, j = 0..J-1 (A_0 = inf)
-    for _ in range(J - 1):
-        a_pts.append(acc)
-        acc = hg.add(acc, stride)
+    r_ord = hg.order
+
+    def walk(count, seed_exp):
+        pts, exps = [], []
+        p = hg.mul(gen, seed_exp)
+        e = seed_exp % r_ord
+        for _ in range(count):
+            pts.append(p)
+            exps.append(e)
+            for _ in range(16):
+                p = hg.double(p)
+            r_t = int(rng.integers(1, 1 << 30))
+            p = hg.add(p, hg.mul(gen, r_t))
+            e = ((e << 16) + r_t) % r_ord
+        return pts, exps
+
+    b_pts, b_exps = walk(K, int(rng.integers(1, 1 << 62)))
+    a_pts, a_exps = walk(J, int(rng.integers(1, 1 << 62)))
     fq = G1.fops.spec
-    ax = ff.from_ints(fq, [p[0] if p else 0 for p in a_pts])
-    ay = ff.from_ints(fq, [p[1] if p else 1 for p in a_pts])
-    az = ff.select(
-        jnp.asarray(np.asarray([p is None for p in a_pts])),
-        ff.zeros(fq, J),
-        ff.one_mont(fq, J),
-    )
+    ax = ff.from_ints(fq, [p[0] for p in a_pts])
+    ay = ff.from_ints(fq, [p[1] for p in a_pts])
+    az = ff.one_mont(fq, J)
     bx = ff.from_ints(fq, [p[0] for p in b_pts])
     by = ff.from_ints(fq, [p[1] for p in b_pts])
     rep = lambda a: jnp.repeat(a, K, axis=1)  # A index varies slowly
@@ -100,7 +111,11 @@ def _distinct_points(jax, G1, n, log_n):
     # -> portable limbs-last layout, batch-normalized affine
     proj = tuple(ff.to_field_last(ff.canonicalize(fq, cc), (n,)) for cc in pj)
     pts = G1.to_affine(proj)
-    return jax.tree_util.tree_map(jax.block_until_ready, pts), hg, gen, fq
+    exps = [
+        (a_exps[i // K] + b_exps[i % K]) % r_ord for i in range(n)
+    ]
+    pts = jax.tree_util.tree_map(jax.block_until_ready, pts)
+    return pts, exps, hg, gen, fq
 
 
 def bench_msm(jax, log_n, iters):
@@ -113,7 +128,7 @@ def bench_msm(jax, log_n, iters):
     n = 1 << log_n
     G1 = C.BLS12_381_G1
     rng = np.random.default_rng(42)
-    pts, hg, gen, fq = _distinct_points(jax, G1, n, log_n)
+    pts, exps, hg, gen, fq = _distinct_points(jax, G1, n, log_n, rng)
 
     sc = np.asarray(
         rng.integers(0, 1 << 16, size=(n, 16), dtype=np.int64), np.uint32
@@ -123,12 +138,12 @@ def bench_msm(jax, log_n, iters):
 
     out0 = run(sc, pts)  # compile + first run
     jax.block_until_ready(out0)
-    # self-check: with P_i = (i+1)*G the expected sum is (sum s_i*(i+1))*G
+    # self-check: with P_i = e_i*G the expected sum is (sum s_i*e_i)*G
     sc_ints = [
         sum(int(v) << (16 * j) for j, v in enumerate(row))
         for row in np.asarray(sc)
     ]
-    total = sum(s * (i + 1) for i, s in enumerate(sc_ints)) % hg.order
+    total = sum(s * e for s, e in zip(sc_ints, exps)) % hg.order
     exp = hg.mul(gen, total)
     got_x, got_y, got_inf = G1.to_affine(out0)
     got = (F.to_ints(fq, got_x), F.to_ints(fq, got_y))

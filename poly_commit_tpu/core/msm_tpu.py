@@ -58,6 +58,60 @@ def _digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(outs, axis=0)
 
 
+def _sort_by_digit(digs: jnp.ndarray):
+    """Stable sort of each window's 16-bit digits; returns (order, sorted).
+
+    argsort lowers to a comparator sort (~1.7s at 2^20x16 on TPU — as
+    expensive as the whole EC scan). The opt-in alternative is a radix-256
+    counting sort: per pass, rank-among-equals comes from a cumsum over
+    the one-hot bucket matrix and the permutation is materialized with ONE
+    unique-index scatter of int32 (the only scatter in the MSM).
+    """
+    import os
+
+    w_count, n = digs.shape
+    if (
+        jax.default_backend() != "tpu"
+        or os.environ.get("POLY_COMMIT_RADIX_SORT", "0") in ("0", "false")
+    ):
+        # Default: XLA's comparator sort. The radix path below is correct
+        # (validated vs stable argsort at 2^12..2^18 and through the
+        # self-checking bench at 2^20) but 2x SLOWER end-to-end today —
+        # the (N, 256) one-hot cumsums are bandwidth-bound through HBM.
+        # It becomes the fast path once the histogram/rank stages move
+        # into a Pallas kernel (block-local in VMEM); opt in via
+        # POLY_COMMIT_RADIX_SORT=1.
+        order = jnp.argsort(digs, axis=1)
+        return order, jnp.take_along_axis(digs, order, axis=1)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    orders = []
+    for w in range(w_count):
+        d = digs[w]
+        idx = iota
+        cur = d
+        # digits span 17 bits: the infinity/padding sentinel is 2^16 and
+        # must sort after every real digit -> a final 2-bucket pass
+        for shift, nb in ((0, 256), (8, 256), (16, 2)):
+            b = ((cur >> shift) & jnp.uint32(nb - 1)).astype(jnp.int32)
+            oh = (
+                b[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+            ).astype(jnp.int32)
+            csum = jnp.cumsum(oh, axis=0)  # inclusive counts
+            rank = jnp.take_along_axis(csum, b[:, None], axis=1)[:, 0] - 1
+            totals = csum[-1]
+            offs = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(totals)[:-1]]
+            )
+            pos = offs[b] + rank
+            inv = jnp.zeros((n,), jnp.int32).at[pos].set(iota, unique_indices=True)
+            idx = jnp.take(idx, inv)
+            cur = jnp.take(d, idx)
+        orders.append(idx)
+    order = jnp.stack(orders, axis=0)
+    return order, jnp.take_along_axis(digs, order, axis=1)
+
+
 def _t_lanes() -> int:
     """Fixed lane count per window: n pads up to it, shapes never vary.
     Small on CPU where the pure-JAX fallback compiles unrolled graphs."""
@@ -107,8 +161,7 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
         digs = jnp.pad(digs, ((0, 0), (0, padn)), constant_values=np.uint32(bsz))
         x = jnp.pad(x, ((0, 0), (0, padn)))
         y = jnp.pad(y, ((0, 0), (0, padn)))
-    order = jnp.argsort(digs, axis=1)  # (W, N') ascending digits
-    sd = jnp.take_along_axis(digs, order, axis=1)
+    order, sd = _sort_by_digit(digs)  # (W, N') ascending digits, stable
 
     # lane t covers sorted slice [t*l_steps, (t+1)*l_steps); points are
     # gathered INSIDE the scan (no (L, W, N') sorted copies materialized)
