@@ -160,17 +160,25 @@ def bench_msm(jax, log_n, iters):
 
 
 def bench_ntt(jax, log_n, iters):
-    """Radix-2 NTT over Fr(BLS12-381); BASELINE.md targets 2^22."""
+    """Radix-2 NTT over Fr(BLS12-381); BASELINE.md targets 2^22. Uses the
+    limbs-first fused tier (core/ntt_lf); self-checks against the portable
+    kernel at a subsampled size first."""
+    from poly_commit_tpu.core import ff
     from poly_commit_tpu.core import field as F
     from poly_commit_tpu.core import ntt as NTT
+    from poly_commit_tpu.core import ntt_lf
     from poly_commit_tpu.core.field_params import FR_BLS12_381
 
     spec = FR_BLS12_381
     n = 1 << log_n
     rng = np.random.default_rng(7)
     ints = [int.from_bytes(rng.bytes(32), "little") % spec.modulus for _ in range(256)]
-    coeffs = F.from_ints(spec, ints * (n // 256))
-    run = jax.jit(lambda a: NTT.ntt(spec, a))
+    # self-check the fused tier vs the portable kernel at a small size
+    small = ff.to_ints(spec, ntt_lf.ntt(spec, ff.from_ints(spec, ints)))
+    exp = F.to_ints(spec, NTT.ntt(spec, F.from_ints(spec, ints)))
+    assert small == exp, "ntt_lf self-check failed"
+    coeffs = ff.from_ints(spec, ints * (n // 256))
+    run = jax.jit(lambda a: ntt_lf.ntt(spec, a))
     _sync(jax, run(coeffs))
     best = _time_best(jax, lambda: run(coeffs), iters)
     # ~ (n/2) log2(n) butterflies; report elements/s for scale-independence

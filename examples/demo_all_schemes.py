@@ -19,7 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# CPU cache dir — NEVER the TPU (.jax_cache) one: axon persists CPU-AOT
+# entries for the remote host's microarchitecture which SIGILL locally.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -407,6 +407,15 @@ BLS12_377_G1 = WeierstrassGroup(
     gen_y=FP.BLS12_377_G1_Y,
 )
 
+BLS12_377_G2 = WeierstrassGroup(
+    name="bls12_377_g2",
+    fops=_FQ377_2,
+    scalar_spec=FP.FR_BLS12_377,
+    b_int=FP.BLS12_377_G2_B,  # D-twist: b' = b/xi = -u/5
+    gen_x=FP.BLS12_377_G2_X,
+    gen_y=FP.BLS12_377_G2_Y,
+)
+
 JUBJUB = EdwardsGroup(
     name="jubjub",
     fops=_FRJJ,

@@ -189,6 +189,23 @@ BLS12_377_G1_Y = 241266749859715473739788878240585681733927191168601896383759122
 BLS12_377_B = 1
 BLS12_377_X_PARAM = 0x8508C00000000001  # positive
 
+# G2 (D-twist over Fq2 = Fq[u]/(u^2+5); curve y^2 = x^3 - u/5). Constants
+# validated structurally: generator on-curve, order r, and b' == b/xi for
+# xi = u (tests/test_pairing_377.py).
+BLS12_377_G2_X = (
+    233578398248691099356572568220835526895379068987715365179118596935057653620464273615301663571204657964920925606294,
+    140913150380207355837477652521042157274541796891053068589147167627541651775299824604154852141315666357241556069118,
+)
+BLS12_377_G2_Y = (
+    63160294768292073209381361943935198908131692476676907196754037919244929611450776219210369229519898517858833747423,
+    149157405641012693445398062341192467754805999074082136895788947234480009303640899064710353187729182149407503257491,
+)
+# b' = -u/5: c1 = -(5^-1) mod q
+BLS12_377_G2_B = (
+    0,
+    155198655607781456406391640216936120121836107652948796323930557600032281009004493664981332883744016074664192874906,
+)
+
 # ---------------------------------------------------------------------------
 # BN254 (bench curve: Hyrax over BN254 G1; Ligero/Brakedown over BN254 Fr)
 # ---------------------------------------------------------------------------

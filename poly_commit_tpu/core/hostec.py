@@ -180,6 +180,8 @@ def host_group(group):
         return HostWeierstrass(_Fp(FP.BN254_Q), FP.BN254_R)
     if n == "bls12_377_g1":
         return HostWeierstrass(_Fp(FP.BLS12_377_Q), FP.BLS12_377_R)
+    if n == "bls12_377_g2":
+        return HostWeierstrass(_Fp2(FP.BLS12_377_Q, -5), FP.BLS12_377_R)
     if n == "jubjub":
         return HostEdwards(FP.BLS12_381_R, FP.JUBJUB_D, FP.JUBJUB_R)
     raise ValueError(n)

@@ -117,10 +117,11 @@ def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | 
 
     On TPU, supported curves dispatch to the limbs-first fused-Pallas path
     (core/msm_tpu.py); explicit c/lanes pins the portable kernel (tests).
-    assume_distinct: bases are pairwise DL-independent (true for every SRS;
-    arkworks' msm_bigint has the same implicit expectation for speed) —
-    enables the fast path's branch-reduced madd; ignored by the portable
-    kernel (complete formulas).
+    assume_distinct: precondition that the bases are pairwise
+    DL-independent (true for every SRS) — enables the fast path's
+    branch-reduced madd. NOT safe for repeated or adversarial points
+    (P+P would silently yield infinity); ignored by the portable kernel
+    (complete formulas).
     """
     if c is None and lanes is None and _fast_path_ok(group):
         from . import ff
@@ -323,6 +324,13 @@ def fixed_base_mul(group, base, scalars: jnp.ndarray):
 
             spec = group.fops.spec
             bx, by, binf = group.to_affine(base)
+            n = scalars.shape[0]
+            # pad N to a power of two so one compiled program serves every
+            # log2 N (the wrapper's contract), and honor a base at infinity
+            # (all outputs are then infinity) instead of producing garbage
+            n_pow2 = 1 << max(0, (n - 1).bit_length())
+            if n_pow2 != n:
+                scalars = jnp.pad(scalars, ((0, n_pow2 - n), (0, 0)))
             L = spec.n_limbs
             out = msm_tpu.fixed_base(
                 spec,
@@ -330,7 +338,13 @@ def fixed_base_mul(group, base, scalars: jnp.ndarray):
                 ff.from_field_last(by.reshape(1, L)),
                 scalars,
             )
-            n = scalars.shape[0]
+            out = tuple(cc[:, :n] for cc in out)
+            # base at infinity: zero the z coordinate (Jacobian infinity)
+            out = (
+                out[0],
+                out[1],
+                jnp.where(jnp.asarray(binf).reshape(()), jnp.zeros_like(out[2]), out[2]),
+            )
             return tuple(
                 ff.to_field_last(ff.canonicalize(spec, cc), (n,)) for cc in out
             )

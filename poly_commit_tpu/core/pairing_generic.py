@@ -1,0 +1,336 @@
+"""Generic host pairing engine for BLS12 curves (381 AND 377).
+
+Parameterizes the tower that core/host_pairing.py hardcodes for BLS12-381:
+
+  Fq2  = Fq[u]/(u^2 - nr2)          (nr2 = -1 for 381, -5 for 377)
+  Fq12 = Fq2[w]/(w^6 - xi)          (xi = u+1 for 381, u for 377)
+  G2'  = twist of E over Fq2        (M-twist for 381, D-twist for 377)
+
+This is the verifier-side backend that replaces arkworks `Bls12_377` /
+`Bls12_381` `Pairing::multi_pairing` (used at kzg10/mod.rs:326-329,
+marlin_pst13_pc/mod.rs:542-554, etc. — the reference instantiates every
+pairing scheme over BOTH curves, marlin/marlin_pc/mod.rs:531-815).
+
+Speed: unlike host_pairing.py's generic 4300-bit final power, the final
+exponentiation here is decomposed (prepared-verifier-key analogue of
+kzg10/data_structures.rs:285-312's precomputation stance):
+
+  (q^12-1)/r = (q^6-1) * (q^2+1) * lambda,   lambda = (q^4-q^2+1)/r
+  * easy part: one Fq12 inversion + conjugations + one Frobenius
+  * hard part: base-q digits of lambda, each exponentiated in the
+    cyclotomic subgroup (inverse = conjugate, NAF digits) and recombined
+    with Frobenius maps -- ~7x fewer Fq2 multiplications.
+
+Correctness is pinned by tests/test_pairing_377.py: the fast final exp is
+compared against the plain (q^12-1)/r power, and BLS12-381 results against
+the independently validated core/host_pairing.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from . import field_params as FP
+
+
+class BlsPairing:
+    """One BLS12 pairing instance (host python-int arithmetic)."""
+
+    def __init__(self, p: int, r: int, x_param: int, nr2: int, xi: tuple,
+                 twist: str):
+        assert twist in ("M", "D")
+        self.p = p
+        self.r = r
+        self.x_param = x_param
+        self.nr2 = nr2 % p
+        self.xi = (xi[0] % p, xi[1] % p)
+        self.twist = twist
+        # Frobenius constant: w^q = gamma * w, gamma = xi^((q-1)/6)
+        assert (p - 1) % 6 == 0
+        self.gamma = self.f2_pow(self.xi, (p - 1) // 6)
+        self.lam = (p**4 - p**2 + 1) // r
+        assert (p**4 - p**2 + 1) % r == 0
+
+    # ---- Fq2 ----
+    def f2_add(self, a, b):
+        p = self.p
+        return ((a[0] + b[0]) % p, (a[1] + b[1]) % p)
+
+    def f2_sub(self, a, b):
+        p = self.p
+        return ((a[0] - b[0]) % p, (a[1] - b[1]) % p)
+
+    def f2_neg(self, a):
+        p = self.p
+        return ((-a[0]) % p, (-a[1]) % p)
+
+    def f2_mul(self, a, b):
+        p, nr = self.p, self.nr2
+        return (
+            (a[0] * b[0] + nr * a[1] * b[1]) % p,
+            (a[0] * b[1] + a[1] * b[0]) % p,
+        )
+
+    def f2_sqr(self, a):
+        return self.f2_mul(a, a)
+
+    def f2_inv(self, a):
+        p, nr = self.p, self.nr2
+        norm = (a[0] * a[0] - nr * a[1] * a[1]) % p
+        ni = pow(norm, -1, p)
+        return ((a[0] * ni) % p, (-a[1] * ni) % p)
+
+    def f2_conj(self, a):
+        """a^q (u^q = -u since nr2 is a quadratic non-residue)."""
+        return (a[0], (-a[1]) % self.p)
+
+    def f2_pow(self, a, e: int):
+        out = (1, 0)
+        base = a
+        while e:
+            if e & 1:
+                out = self.f2_mul(out, base)
+            base = self.f2_mul(base, base)
+            e >>= 1
+        return out
+
+    # ---- Fq12 as Fq2[w]/(w^6 - xi), flat length-6 lists of Fq2 ----
+    def f12_one(self):
+        return [(1, 0)] + [(0, 0)] * 5
+
+    def f12_mul(self, a, b):
+        z = (0, 0)
+        tmp = [z] * 11
+        for i in range(6):
+            ai = a[i]
+            if ai == z:
+                continue
+            for j in range(6):
+                if b[j] == z:
+                    continue
+                tmp[i + j] = self.f2_add(tmp[i + j], self.f2_mul(ai, b[j]))
+        out = tmp[:6]
+        for k in range(6, 11):
+            if tmp[k] != z:
+                out[k - 6] = self.f2_add(out[k - 6], self.f2_mul(tmp[k], self.xi))
+        return out
+
+    def f12_sqr(self, a):
+        return self.f12_mul(a, a)
+
+    def f12_conj(self, a):
+        """a^(q^6): w^(q^6) = w * xi^((q^6-1)/6) = -w (odd coords negate)."""
+        return [a[i] if i % 2 == 0 else self.f2_neg(a[i]) for i in range(6)]
+
+    # Fq6 = Fq2[v]/(v^3 - xi) helpers (v = w^2) for inversion
+    def _f6_mul(self, a, b):
+        m = self.f2_mul
+        add = self.f2_add
+        xi = self.xi
+        t0 = m(a[0], b[0])
+        t1 = m(a[1], b[1])
+        t2 = m(a[2], b[2])
+        c0 = add(t0, m(xi, add(m(a[1], b[2]), m(a[2], b[1]))))
+        c1 = add(add(m(a[0], b[1]), m(a[1], b[0])), m(xi, t2))
+        c2 = add(add(m(a[0], b[2]), m(a[2], b[0])), t1)
+        return [c0, c1, c2]
+
+    def _f6_inv(self, a):
+        m = self.f2_mul
+        sub = self.f2_sub
+        xi = self.xi
+        t0 = sub(m(a[0], a[0]), m(xi, m(a[1], a[2])))
+        t1 = sub(m(xi, m(a[2], a[2])), m(a[0], a[1]))
+        t2 = sub(m(a[1], a[1]), m(a[0], a[2]))
+        den = self.f2_add(
+            m(a[0], t0), m(xi, self.f2_add(m(a[2], t1), m(a[1], t2)))
+        )
+        di = self.f2_inv(den)
+        return [m(t0, di), m(t1, di), m(t2, di)]
+
+    def f12_inv(self, a):
+        """(A + Bw)^-1 with A=(a0,a2,a4), B=(a1,a3,a5) in Fq6, w^2 = v."""
+        A = [a[0], a[2], a[4]]
+        B = [a[1], a[3], a[5]]
+        # norm = A^2 - v B^2; v*(b0,b1,b2) = (xi*b2, b0, b1)
+        A2 = self._f6_mul(A, A)
+        B2 = self._f6_mul(B, B)
+        vB2 = [self.f2_mul(self.xi, B2[2]), B2[0], B2[1]]
+        norm = [self.f2_sub(x, y) for x, y in zip(A2, vB2)]
+        ni = self._f6_inv(norm)
+        Ai = self._f6_mul(A, ni)
+        Bi = self._f6_mul(B, ni)
+        nBi = [self.f2_neg(c) for c in Bi]
+        return [Ai[0], nBi[0], Ai[1], nBi[1], Ai[2], nBi[2]]
+
+    def f12_frob(self, a, power: int = 1):
+        """a^(q^power): coefficient-wise Fq2 Frobenius + gamma^i twists."""
+        out = a
+        for _ in range(power % 12):
+            g = (1, 0)
+            nxt = []
+            for i in range(6):
+                nxt.append(self.f2_mul(self.f2_conj(out[i]), g))
+                g = self.f2_mul(g, self.gamma)
+            out = nxt
+        return out
+
+    def f12_pow(self, a, e: int):
+        out = self.f12_one()
+        base = a
+        while e:
+            if e & 1:
+                out = self.f12_mul(out, base)
+            base = self.f12_mul(base, base)
+            e >>= 1
+        return out
+
+    # ---- cyclotomic exponentiation (inverse = conjugate) ----
+    @staticmethod
+    def _naf(e: int):
+        digits = []
+        while e:
+            if e & 1:
+                d = 2 - (e % 4)
+                e -= d
+            else:
+                d = 0
+            digits.append(d)
+            e >>= 1
+        return digits
+
+    def _cyc_exp(self, a, e: int):
+        """a^e for a in the cyclotomic subgroup (after the easy part):
+        a^-1 = conj(a), so NAF digits halve the multiply count."""
+        if e == 0:
+            return self.f12_one()
+        neg = e < 0
+        ainv = self.f12_conj(a)
+        out = self.f12_one()
+        for d in reversed(self._naf(abs(e))):
+            out = self.f12_sqr(out)
+            if d == 1:
+                out = self.f12_mul(out, a)
+            elif d == -1:
+                out = self.f12_mul(out, ainv)
+        return self.f12_conj(out) if neg else out
+
+    def final_exp(self, f):
+        """f^((q^12-1)/r) via easy part + base-q hard part."""
+        # easy: f^(q^6-1) then ^(q^2+1)
+        t = self.f12_mul(self.f12_conj(f), self.f12_inv(f))
+        t = self.f12_mul(self.f12_frob(t, 2), t)
+        # hard: t^lambda, lambda = sum d_i q^i -> prod frob^i(t^d_i)
+        q = self.p
+        e = self.lam
+        out = self.f12_one()
+        i = 0
+        while e:
+            d = e % q
+            if d:
+                out = self.f12_mul(out, self.f12_frob(self._cyc_exp(t, d), i))
+            e //= q
+            i += 1
+        return out
+
+    # ---- Miller loop ----
+    def _line(self, t, q_or_none, p_aff):
+        f2 = self
+        xt, yt = t
+        if q_or_none is None:
+            lam = f2.f2_mul(
+                f2.f2_mul((3, 0), f2.f2_mul(xt, xt)),
+                f2.f2_inv(f2.f2_add(yt, yt)),
+            )
+        else:
+            xq, yq = q_or_none
+            lam = f2.f2_mul(f2.f2_sub(yq, yt), f2.f2_inv(f2.f2_sub(xq, xt)))
+        xp, yp = p_aff
+        z = (0, 0)
+        out = [z] * 6
+        if self.twist == "M":
+            # l*xi = yp*xi + (lam*xt - yt) w^3 + (-lam*xp) w^5
+            out[0] = f2.f2_mul((yp % self.p, 0), self.xi)
+            out[3] = f2.f2_sub(f2.f2_mul(lam, xt), yt)
+            out[5] = f2.f2_neg(f2.f2_mul(lam, (xp % self.p, 0)))
+        else:
+            # D-twist: l = yp + (-lam*xp) w + (lam*xt - yt) w^3
+            out[0] = (yp % self.p, 0)
+            out[1] = f2.f2_neg(f2.f2_mul(lam, (xp % self.p, 0)))
+            out[3] = f2.f2_sub(f2.f2_mul(lam, xt), yt)
+        return out, lam
+
+    def _g2_dbl(self, t, lam):
+        xt, yt = t
+        x3 = self.f2_sub(self.f2_mul(lam, lam), self.f2_add(xt, xt))
+        y3 = self.f2_sub(self.f2_mul(lam, self.f2_sub(xt, x3)), yt)
+        return (x3, y3)
+
+    def _g2_add(self, t, q, lam):
+        xt, yt = t
+        xq, _ = q
+        x3 = self.f2_sub(self.f2_sub(self.f2_mul(lam, lam), xt), xq)
+        y3 = self.f2_sub(self.f2_mul(lam, self.f2_sub(xt, x3)), yt)
+        return (x3, y3)
+
+    def miller_loop(self, p_aff, q_aff):
+        bits = bin(abs(self.x_param))[2:]
+        f = self.f12_one()
+        t = q_aff
+        for bit in bits[1:]:
+            l, lam = self._line(t, None, p_aff)
+            f = self.f12_mul(self.f12_sqr(f), l)
+            t = self._g2_dbl(t, lam)
+            if bit == "1":
+                l, lam = self._line(t, q_aff, p_aff)
+                f = self.f12_mul(f, l)
+                t = self._g2_add(t, q_aff, lam)
+        if self.x_param < 0:
+            f = self.f12_conj(f)
+        return f
+
+    def pairing(self, p_triple, q_triple):
+        """Full pairing e(P, Q) as a flat Fq12 element."""
+        px, py, pinf = p_triple
+        qx, qy, qinf = q_triple
+        if pinf or qinf:
+            return self.f12_one()
+        return self.final_exp(self.miller_loop((px, py), (qx, qy)))
+
+    def pairing_product_is_one(self, g1_triples, g2_triples) -> bool:
+        """prod e(P_i, Q_i) == 1 with one shared final exponentiation
+        (arkworks multi_pairing, kzg10/mod.rs:326-329)."""
+        acc = self.f12_one()
+        any_real = False
+        for (px, py, pinf), (qx, qy, qinf) in zip(g1_triples, g2_triples):
+            if pinf or qinf:
+                continue
+            any_real = True
+            acc = self.f12_mul(acc, self.miller_loop((px, py), (qx, qy)))
+        if not any_real:
+            return True
+        return self.final_exp(acc) == self.f12_one()
+
+
+@functools.lru_cache(maxsize=None)
+def bls12_381() -> BlsPairing:
+    return BlsPairing(
+        p=FP.BLS12_381_Q,
+        r=FP.BLS12_381_R,
+        x_param=FP.BLS12_381_X_PARAM,
+        nr2=-1,
+        xi=(1, 1),
+        twist="M",
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def bls12_377() -> BlsPairing:
+    return BlsPairing(
+        p=FP.BLS12_377_Q,
+        r=FP.BLS12_377_R,
+        x_param=FP.BLS12_377_X_PARAM,
+        nr2=-5,
+        xi=(0, 1),
+        twist="D",
+    )

@@ -70,6 +70,15 @@ class PoseidonSponge:
         self.mode = "absorb"
         self.pos = 0  # next rate slot
 
+    def clone(self) -> "PoseidonSponge":
+        """Independent copy (for deriving side-channel randomness without
+        perturbing the protocol transcript)."""
+        c = PoseidonSponge.__new__(PoseidonSponge)
+        c.spec, c.p, c.ark, c.mds = self.spec, self.p, self.ark, self.mds
+        c.state = list(self.state)
+        c.mode, c.pos = self.mode, self.pos
+        return c
+
     # -- permutation --
     def _permute(self):
         p = self.p

@@ -32,9 +32,16 @@ def _build() -> bool:
     try:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
             return True
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO + ".tmp"]
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(_SO + ".tmp", _SO)
+        # unique temp name: two processes building concurrently must not
+        # interleave output into the same file before os.replace
+        tmp = f"{_SO}.{os.getpid()}.tmp"
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _SO)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         return True
     except Exception:
         return False

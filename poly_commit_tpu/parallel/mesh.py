@@ -20,6 +20,7 @@ Layouts:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -32,6 +33,31 @@ from jax.experimental.shard_map import shard_map
 from ..core import field as F
 from ..core import msm as M
 from ..core import ntt as NTT
+
+# ---------------------------------------------------------------------------
+# active-mesh context: schemes consult this so multi-chip execution is a
+# caller-side `with use_mesh(mesh):` rather than a parameter threaded through
+# every scheme API (the analogue of the reference's global rayon pool that
+# every cfg_iter! implicitly targets, SURVEY.md §5.8)
+# ---------------------------------------------------------------------------
+
+_ACTIVE: list = []
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Mesh, axis: str | None = None):
+    """Route the schemes' SRS-sized MSMs through ``msm_sharded`` over
+    ``mesh`` for the duration of the context."""
+    _ACTIVE.append((mesh, axis or mesh.axis_names[0]))
+    try:
+        yield mesh
+    finally:
+        _ACTIVE.pop()
+
+
+def active_mesh():
+    """(mesh, axis) of the innermost use_mesh context, or None."""
+    return _ACTIVE[-1] if _ACTIVE else None
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
@@ -64,18 +90,23 @@ def _fold_gathered(group, gathered, n_dev: int):
 
 def msm_sharded(group, scalars: jnp.ndarray, points, mesh: Mesh,
                 c: int | None = None, lanes: int | None = None,
-                axis: str | None = None):
+                axis: str | None = None, assume_distinct: bool = False):
     """MSM with bases+scalars sharded over a mesh axis (default: first).
 
     scalars: (N, 16) plain limbs; points: affine (x, y, inf) batched (N, ...).
     N must be divisible by the axis size (pad with inf points otherwise —
     see :func:`pad_msm_inputs`). Returns a replicated projective point.
+
+    With c/lanes None the per-device kernel uses the normal dispatch — the
+    limbs-first fast path on TPU (or POLY_COMMIT_FAST_MSM=1); explicit
+    c/lanes pins the portable kernel.
     """
     axis = axis or mesh.axis_names[0]
     n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
 
     def local(sc, x, y, inf):
-        part = M.msm(group, sc, (x, y, inf), c, lanes)
+        part = M.msm(group, sc, (x, y, inf), c, lanes,
+                     assume_distinct=assume_distinct)
         gathered = jax.tree_util.tree_map(
             lambda a: jax.lax.all_gather(a, axis), part
         )
@@ -109,31 +140,93 @@ def pad_msm_inputs(group, scalars, points, multiple: int):
     return scalars, (x, y, inf)
 
 
+@functools.lru_cache(maxsize=16)
+def _cross_twiddles(spec, n1: int, n2: int, inverse: bool):
+    """w^{± i2*k1} for the six-step decomposition as numpy (n2, n1, L)
+    Montgomery limbs (host-precomputed constant, sharded over i2 rows)."""
+    d = NTT.domain(spec, int(np.log2(n1 * n2)))
+    pows = d["ipows"] if inverse else d["pows"]
+    n = n1 * n2
+    tab = np.empty((n2, n1), dtype=object)
+    for i2 in range(n2):
+        for k1 in range(n1):
+            tab[i2, k1] = int(pows[(i2 * k1) % n])
+    flat = [tab[i, j] for i in range(n2) for j in range(n1)]
+    return F.from_ints_np(spec, flat).reshape(n2, n1, spec.n_limbs)
+
+
+def _transpose_sharded(x, axis: str, n_dev: int):
+    """Local block (R/D, C, L) of a row-sharded (R, C) global -> local block
+    (C/D, R, L) of the column-sharded transpose; ONE all_to_all."""
+    rD, ccols, L = x.shape
+    # split columns into D chunks and exchange: -> (R, C/D, L)
+    y = jax.lax.all_to_all(
+        x.reshape(rD, n_dev, ccols // n_dev, L), axis, 1, 0, tiled=True
+    ).reshape(rD * n_dev, ccols // n_dev, L)
+    return jnp.swapaxes(y, 0, 1)  # (C/D, R, L)
+
+
 def ntt_sharded(spec, coeffs: jnp.ndarray, mesh: Mesh, inverse: bool = False,
                 axis: str | None = None):
-    """Radix-2 NTT over a coefficient axis sharded on ``mesh``.
+    """Distributed radix-2 NTT: six-step decomposition with `all_to_all`
+    transposes over ICI (SURVEY §2.5 TP row; replaces the reference's
+    single-threadpool fft, linear_codes/utils.rs:112-127).
 
-    Strategy: run the kernel under shard_map with the array all-gathered
-    per device only for the cross-shard butterfly tail. For the sizes where
-    multi-chip matters (2^20+) the local stages dominate; the tail gather is
-    one collective. Correctness-first formulation; the all-to-all staged
-    variant is the optimization path.
+    View the length-n coefficient vector as an (n1, n2) row-major matrix
+    (n1 = n_dev): size-n1 column transforms become LOCAL batched NTTs after
+    one all_to_all transpose, the cross twiddle w^{i2*k1} is a sharded
+    constant, and the size-n2 row transforms are local after a second
+    transpose; a third transpose restores standard-order contiguous
+    sharding. Communication: 3 all_to_alls (~n elements each), no
+    full-array gather. Sizes below n_dev^2 fall back to the gather path.
     """
     axis = axis or mesh.axis_names[0]
     n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    n = coeffs.shape[0]
 
-    def local(a):
-        full = jax.lax.all_gather(a, axis, tiled=True)
-        out = NTT.intt(spec, full) if inverse else NTT.ntt(spec, full)
-        idx = jax.lax.axis_index(axis)
-        shard = out.shape[0] // n_dev
-        return jax.lax.dynamic_slice_in_dim(out, idx * shard, shard, axis=0)
+    if n_dev == 1 or n % (n_dev * n_dev) != 0:
+        # small/ragged fallback: gather + local transform
+        def local_small(a):
+            full = jax.lax.all_gather(a, axis, tiled=True)
+            out = NTT.intt(spec, full) if inverse else NTT.ntt(spec, full)
+            idx = jax.lax.axis_index(axis)
+            shard = out.shape[0] // n_dev
+            return jax.lax.dynamic_slice_in_dim(out, idx * shard, shard, axis=0)
+
+        return shard_map(
+            local_small, mesh=mesh, in_specs=PSpec(axis),
+            out_specs=PSpec(axis), check_rep=False,
+        )(coeffs)
+
+    n1, n2 = n_dev, n // n_dev
+    tw = jnp.asarray(_cross_twiddles(spec, n1, n2, inverse))  # (n2, n1, L)
+    sub = NTT.intt if inverse else NTT.ntt
+
+    def local(a, tw_loc):
+        # a: (n/D, L) = rows [d*n1/D ...] of the (n1, n2) view — i.e. the
+        # device's contiguous slice; as (n1/D, n2, L)
+        L = a.shape[-1]
+        blk = a.reshape(n1 // n_dev, n2, L)
+        # transpose 1: -> (n2/D, n1, L), indexed [i2, i1]
+        b = _transpose_sharded(blk, axis, n_dev)
+        # size-n1 transforms over i1 (last-but-one axis is batch)
+        b = sub(spec, b)  # (..., n1, L) transform along axis -2
+        # cross twiddles (sharded over i2 rows like b)
+        b = F.mont_mul(spec, b, tw_loc)
+        # transpose 2: -> (n1/D, n2, L), indexed [k1, i2]
+        c = _transpose_sharded(b, axis, n_dev)
+        # size-n2 transforms over i2
+        c = sub(spec, c)  # [k1, k2]
+        # transpose 3: -> (n2/D, n1, L) indexed [k2, k1]; flatten to the
+        # standard order X[k2*n1 + k1]
+        x = _transpose_sharded(c, axis, n_dev)
+        return x.reshape(n // n_dev, L)
 
     fn = shard_map(
-        local, mesh=mesh, in_specs=PSpec(axis), out_specs=PSpec(axis),
-        check_rep=False,
+        local, mesh=mesh, in_specs=(PSpec(axis), PSpec(axis)),
+        out_specs=PSpec(axis), check_rep=False,
     )
-    return fn(coeffs)
+    return fn(coeffs, tw)
 
 
 def shard_batch(arr, mesh: Mesh, axis: str | None = None):

@@ -15,10 +15,11 @@ kernels (MSM, NTT, folds). Randomness is an explicit seeded host RNG.
 from __future__ import annotations
 
 import dataclasses
-import random
+import hashlib
 from typing import Any, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import field as F
 from ..core.field_params import FieldSpec
@@ -26,18 +27,97 @@ from ..core.transcript import PoseidonSponge
 from . import errors
 
 # ---------------------------------------------------------------------------
-# randomness (replaces OptionalRng, optional_rng.rs:10-50)
+# randomness (replaces OptionalRng, optional_rng.rs:10-50; the reference
+# uses ChaCha20Rng for all secret randomness — lib.rs:681, SURVEY §2.3)
 # ---------------------------------------------------------------------------
 
 
-class HostRng:
-    """Deterministic seeded host RNG producing field elements."""
+def _rotl(x, n):
+    return (x << np.uint32(n)) | (x >> np.uint32(32 - n))
 
-    def __init__(self, seed: int = 0):
-        self._r = random.Random(seed)
+
+def _chacha_blocks(key_words: np.ndarray, counter: int, nblocks: int,
+                   nonce_words: Optional[np.ndarray] = None) -> bytes:
+    """ChaCha20 keystream (RFC 8439 layout; 96-bit nonce, default zero),
+    vectorized over `nblocks` consecutive counter values with numpy uint32
+    lanes. Validated against the RFC 8439 §2.3.2 block vector
+    (tests/test_arkworks_vectors.py)."""
+    x = np.empty((16, nblocks), np.uint32)
+    x[0:4] = np.array(
+        [0x61707865, 0x3320646E, 0x79622D32, 0x6B206574], np.uint32
+    )[:, None]
+    x[4:12] = key_words[:, None]
+    x[12] = (np.arange(counter, counter + nblocks, dtype=np.uint64)
+             & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    x[13:16] = 0 if nonce_words is None else np.asarray(
+        nonce_words, np.uint32
+    )[:, None]
+    s = x.copy()
+
+    def qr(a, b, c, d):
+        s[a] += s[b]
+        s[d] = _rotl(s[d] ^ s[a], 16)
+        s[c] += s[d]
+        s[b] = _rotl(s[b] ^ s[c], 12)
+        s[a] += s[b]
+        s[d] = _rotl(s[d] ^ s[a], 8)
+        s[c] += s[d]
+        s[b] = _rotl(s[b] ^ s[c], 7)
+
+    for _ in range(10):
+        qr(0, 4, 8, 12)
+        qr(1, 5, 9, 13)
+        qr(2, 6, 10, 14)
+        qr(3, 7, 11, 15)
+        qr(0, 5, 10, 15)
+        qr(1, 6, 11, 12)
+        qr(2, 7, 8, 13)
+        qr(3, 4, 9, 14)
+    s += x
+    # serialize: per block, 16 LE words
+    return s.T.astype("<u4").tobytes()
+
+
+class HostRng:
+    """Deterministic seeded host CSPRNG (ChaCha20 keystream) producing field
+    elements. Used for SRS trapdoors, hiding randomness, and batch-check
+    randomizers — the places the reference uses ChaCha20Rng."""
+
+    def __init__(self, seed: int = 0, *, key: Optional[bytes] = None):
+        if key is None:
+            key = hashlib.sha256(
+                b"poly-commit-tpu:chacha20:"
+                + int(seed).to_bytes(32, "little", signed=False)
+            ).digest()
+        self._key = np.frombuffer(key[:32], "<u4").copy()
+        self._counter = 0
+        self._buf = b""
+        self._pos = 0
+
+    @classmethod
+    def from_bytes(cls, seed_bytes: bytes) -> "HostRng":
+        return cls(key=hashlib.sha256(b"poly-commit-tpu:derived:" + seed_bytes).digest())
+
+    def bytes(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0:
+            if self._pos >= len(self._buf):
+                nblocks = max(64, (n + 63) // 64)  # refill >= 4 KiB at a time
+                self._buf = _chacha_blocks(self._key, self._counter, nblocks)
+                self._counter += nblocks
+                self._pos = 0
+            take = min(n, len(self._buf) - self._pos)
+            out += self._buf[self._pos : self._pos + take]
+            self._pos += take
+            n -= take
+        return bytes(out)
+
+    def getrandbits(self, k: int) -> int:
+        nb = (k + 7) // 8
+        return int.from_bytes(self.bytes(nb), "little") >> (nb * 8 - k)
 
     def field_int(self, spec: FieldSpec) -> int:
-        return self._r.getrandbits(spec.num_bits + 64) % spec.modulus
+        return self.getrandbits(spec.num_bits + 64) % spec.modulus
 
     def field_ints(self, spec: FieldSpec, n: int):
         return [self.field_int(spec) for _ in range(n)]
@@ -46,13 +126,68 @@ class HostRng:
         return F.from_ints(spec, self.field_ints(spec, n))
 
     def u128(self) -> int:
-        return self._r.getrandbits(128)
+        return self.getrandbits(128)
 
     def u64(self) -> int:
-        return self._r.getrandbits(64)
+        return self.getrandbits(64)
 
-    def randint(self, lo, hi):
-        return self._r.randint(lo, hi)
+    def randint(self, lo: int, hi: int) -> int:
+        # inclusive range, unbiased enough (128-bit draw mod span)
+        span = hi - lo + 1
+        return lo + self.getrandbits(128) % span
+
+
+def _hash_host_obj(h, obj):
+    """Canonical type-tagged encoding of host data (ints, strs, tuples,
+    dicts, dataclasses of those) into a hash state."""
+    if obj is None:
+        h.update(b"N")
+    elif isinstance(obj, bool):
+        h.update(b"B1" if obj else b"B0")
+    elif isinstance(obj, int):
+        nb = (obj.bit_length() + 8) // 8 + 1  # signed-safe
+        h.update(b"I" + nb.to_bytes(4, "little") + obj.to_bytes(nb, "little", signed=True))
+    elif isinstance(obj, str):
+        b = obj.encode()
+        h.update(b"S" + len(b).to_bytes(4, "little") + b)
+    elif isinstance(obj, bytes):
+        h.update(b"Y" + len(obj).to_bytes(4, "little") + obj)
+    elif isinstance(obj, (list, tuple)):
+        h.update(b"L" + len(obj).to_bytes(4, "little"))
+        for it in obj:
+            _hash_host_obj(h, it)
+    elif isinstance(obj, dict):
+        items = sorted(obj.items(), key=lambda kv: str(kv[0]))
+        h.update(b"D" + len(items).to_bytes(4, "little"))
+        for k, v in items:
+            _hash_host_obj(h, k)
+            _hash_host_obj(h, v)
+    elif dataclasses.is_dataclass(obj):
+        h.update(b"C" + type(obj).__name__.encode())
+        for f in dataclasses.fields(obj):
+            _hash_host_obj(h, getattr(obj, f.name))
+    else:
+        # last resort (e.g. numpy scalar): canonical int/str coercion
+        try:
+            _hash_host_obj(h, int(obj))
+        except (TypeError, ValueError):
+            _hash_host_obj(h, str(obj))
+
+
+def derive_batch_rng(sponge, *objs) -> HostRng:
+    """Fiat-Shamir fallback for batch-check randomizers when the caller
+    supplies no rng: seed a ChaCha20 stream from a squeeze of the verifier
+    sponge after absorbing a hash of the proof/commitment/query data.
+    Unpredictable to the prover (it depends on everything absorbed), unlike
+    a fixed seed — the reference instead makes the rng a required argument
+    (kzg10/mod.rs:337-391). ``objs`` are host-side structures (ints, tuples,
+    dicts, proof/commitment dataclasses)."""
+    s = sponge.clone() if hasattr(sponge, "clone") else sponge
+    h = hashlib.sha256()
+    for obj in objs:
+        _hash_host_obj(h, obj)
+    s.absorb_bytes(h.digest())
+    return HostRng.from_bytes(bytes(s.squeeze_bytes(32)))
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +409,9 @@ def _group_queries(query_set):
     for (label, (point_label, point)) in query_set:
         grouped.setdefault((point_label, _pt_key(point)), []).append(label)
     out = []
-    for key in sorted(grouped, key=lambda k: str(k[0])):
+    # order by the FULL (point_label, point) key — two distinct points that
+    # share a label must not tie (the reference's BTreeMap key, lib.rs:152)
+    for key in sorted(grouped, key=lambda k: (str(k[0]), str(k[1]))):
         out.append(((key[0], key[1]), sorted(grouped[key])))
     return out
 

@@ -43,6 +43,7 @@ from .data_structures import (
     LabeledCommitment,
     PolynomialCommitment,
 )
+from ..utils.trace import traced
 
 GROUP = C.BN254_G1
 SPEC = FP.FR_BN254
@@ -149,6 +150,7 @@ class HyraxPC(PolynomialCommitment):
     spec = SPEC
 
     @classmethod
+    @traced("Hyrax::setup")
     def setup(cls, max_degree=0, num_vars=None, rng=None):
         if num_vars is None or num_vars % 2 == 1:
             raise errors.InvalidNumberOfVariables()
@@ -159,6 +161,7 @@ class HyraxPC(PolynomialCommitment):
         return UniversalParams(com_key=com_key, h=h, com_key_host=pts)
 
     @classmethod
+    @traced("Hyrax::trim")
     def trim(cls, pp, supported_degree=0, supported_hiding_bound=0,
              enforced_degree_bounds=None):
         return pp, pp
@@ -169,6 +172,7 @@ class HyraxPC(PolynomialCommitment):
         return int(F.to_ints(SPEC, P.mle_evaluate(SPEC, labeled_poly.poly, pt)))
 
     @classmethod
+    @traced("Hyrax::commit")
     def commit(cls, ck, polynomials, rng=None):
         if rng is None:
             raise errors.MissingRng()
@@ -193,6 +197,7 @@ class HyraxPC(PolynomialCommitment):
         return comms, states
 
     @classmethod
+    @traced("Hyrax::open")
     def open(cls, ck, polynomials, commitments, point, sponge, states, rng=None):
         """mod.rs:273-406. point: tuple of nv ints."""
         if rng is None:
@@ -267,6 +272,7 @@ class HyraxPC(PolynomialCommitment):
         return proofs
 
     @classmethod
+    @traced("Hyrax::check")
     def check(cls, vk, commitments, point, values, proof, sponge):
         """mod.rs:418-511 (values are not read — see module docstring)."""
         n = len(point)

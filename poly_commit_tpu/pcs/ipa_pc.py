@@ -36,12 +36,14 @@ from ..core.serialize import field_to_bytes, point_to_bytes_uncompressed
 from . import errors
 from .data_structures import (
     HostRng,
+    derive_batch_rng,
     LabeledCommitment,
     LabeledPolynomial,
     PolynomialCommitment,
     _group_queries,
     _pt_key,
 )
+from ..utils.trace import traced
 
 GROUP = C.JUBJUB
 SPEC = FP.FR_JUBJUB
@@ -259,6 +261,7 @@ class InnerProductArgPC(PolynomialCommitment):
     spec = SPEC
 
     @classmethod
+    @traced("IPA_PC::setup")
     def setup(cls, max_degree, num_vars=None, rng=None):
         max_degree = (1 << (max_degree + 1).bit_length() if (max_degree + 1) & max_degree
                       else max_degree + 1) - 1  # next_power_of_two(d+1) - 1
@@ -269,6 +272,7 @@ class InnerProductArgPC(PolynomialCommitment):
         return UniversalParams(comm_key=comm_key, h=h, s=s, max_degree=max_degree)
 
     @classmethod
+    @traced("IPA_PC::trim")
     def trim(cls, pp, supported_degree, supported_hiding_bound=0,
              enforced_degree_bounds=None):
         supported_degree = (
@@ -293,6 +297,7 @@ class InnerProductArgPC(PolynomialCommitment):
                 )
 
     @classmethod
+    @traced("IPA_PC::commit")
     def commit(cls, ck, polynomials, rng=None):
         comms, states = [], []
         d = ck.supported_degree
@@ -325,6 +330,7 @@ class InnerProductArgPC(PolynomialCommitment):
         return comms, states
 
     @classmethod
+    @traced("IPA_PC::open")
     def open(cls, ck, polynomials, commitments, point, sponge, states, rng=None):
         """mod.rs:475-723."""
         d = ck.supported_degree
@@ -362,7 +368,10 @@ class InnerProductArgPC(PolynomialCommitment):
 
         hiding_comm = None
         if has_hiding:
-            rng = rng or HostRng(0x19A)
+            if rng is None:
+                # hiding randomness must come from the caller (the
+                # reference's OptionalRng panics here, optional_rng.rs:10-50)
+                raise errors.MissingRng()
             hp_ints = rng.field_ints(SPEC, d + 1)
             hp = F.from_ints(SPEC, hp_ints)
             # subtract its value at the point so it opens to zero
@@ -546,6 +555,7 @@ class InnerProductArgPC(PolynomialCommitment):
         return check_poly
 
     @classmethod
+    @traced("IPA_PC::check")
     def check(cls, vk, commitments, point, values, proof, sponge):
         d = vk.supported_degree
         log_d = (d + 1).bit_length() - 1
@@ -561,13 +571,18 @@ class InnerProductArgPC(PolynomialCommitment):
         return final_key == proof.final_comm_key
 
     @classmethod
+    @traced("IPA_PC::batch_check")
     def batch_check(cls, vk, commitments, query_set, evaluations, proofs,
                     sponge, rng=None):
         """mod.rs:775-853: RLC the check polys, one MSM."""
         comms = {c.label: c for c in commitments}
         grouped = _group_queries(query_set)
         assert len(grouped) == len(proofs)
-        rng = rng or HostRng(0x1BC)
+        rng = rng or derive_batch_rng(
+            sponge, [c.label for c in commitments],
+            [lc.commitment for lc in commitments], grouped,
+            {str(k): int(v) for k, v in evaluations.items()}, proofs,
+        )
         randomizer = 1
         combined_check_poly = None
         combined_final_key = None

@@ -26,8 +26,13 @@ from ..core import pairing as PR
 from ..core import poly as P
 from ..core.field_params import FR_BLS12_381
 from . import errors
+from .curve_ctx import CTX_BLS12_381, CurveCtx
 from .data_structures import HostRng
+from ..utils.trace import traced
 
+# module-level defaults (BLS12-381); every function also accepts a
+# CurveCtx for the second reference curve (BLS12-377) -- the analogue of
+# the reference's generics over `Pairing` (marlin_pc/mod.rs:531-815)
 G1 = C.BLS12_381_G1
 G2 = C.BLS12_381_G2
 SPEC = FR_BLS12_381
@@ -98,50 +103,75 @@ class Proof:
     random_v: Optional[int] = None
 
 
-def _to_host(pt_proj) -> tuple:
+def _to_host(pt_proj, ctx: CurveCtx = CTX_BLS12_381) -> tuple:
     from ..core.serialize import device_point_to_ints
 
-    return device_point_to_ints(G1, pt_proj)
+    return device_point_to_ints(ctx.g1, pt_proj)
 
 
-def setup(max_degree: int, produce_g2_powers: bool = False, rng: HostRng | None = None) -> UniversalParams:
+def _srs_msm(coeffs_mont: jnp.ndarray, key, ctx: CurveCtx = CTX_BLS12_381) -> tuple:
+    """SRS-sized MSM: the universal hot call (kzg10/mod.rs:175,199,255,270).
+
+    Single-chip by default; when a mesh context is active
+    (``parallel.mesh.use_mesh``) the bases+scalars are sharded over the mesh
+    axis and per-device Pippenger partials are combined with collectives —
+    the TPU replacement for the rayon pool inside arkworks' msm_bigint
+    (kzg10/mod.rs:465, SURVEY.md §2.5 TP row).
+    """
+    from ..parallel import mesh as PM
+
+    active = PM.active_mesh()
+    if active is None:
+        return M.msm_mont(ctx.g1, coeffs_mont, key, assume_distinct=True)
+    mesh, axis = active
+    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    sc = F.from_mont(ctx.spec, coeffs_mont)
+    sc, pts = PM.pad_msm_inputs(ctx.g1, sc, key, n_dev)
+    return PM.msm_sharded(ctx.g1, sc, pts, mesh, axis=axis, assume_distinct=True)
+
+
+@traced("KZG10::setup")
+def setup(max_degree: int, produce_g2_powers: bool = False,
+          rng: HostRng | None = None,
+          ctx: CurveCtx = CTX_BLS12_381) -> UniversalParams:
     """Sample beta, g, gamma_g, h and build power tables (kzg10/mod.rs:53-124)."""
+    g1, g2, spec = ctx.g1, ctx.g2, ctx.spec
     if max_degree < 1:
         raise errors.DegreeIsZero()
     rng = rng or HostRng(0)
-    beta = rng.field_int(SPEC)
-    g_k = rng.field_int(SPEC)
-    gamma = rng.field_int(SPEC)
-    h_k = rng.field_int(SPEC)
+    beta = rng.field_int(spec)
+    g_k = rng.field_int(spec)
+    gamma = rng.field_int(spec)
+    h_k = rng.field_int(spec)
 
-    g = C.scalar_mul_int(G1, G1.generator(), g_k)
-    h = C.scalar_mul_int(G2, G2.generator(), h_k)
+    g = C.scalar_mul_int(g1, g1.generator(), g_k)
+    h = C.scalar_mul_int(g2, g2.generator(), h_k)
 
     # powers of beta as plain scalars (host ints; serial like mod.rs:68-73)
     pows = [1] * (max_degree + 2)
     for i in range(1, max_degree + 2):
-        pows[i] = pows[i - 1] * beta % SPEC.modulus
-    sc_g = M.scalars_from_ints(SPEC, pows[: max_degree + 1])
+        pows[i] = pows[i - 1] * beta % spec.modulus
+    sc_g = M.scalars_from_ints(spec, pows[: max_degree + 1])
     sc_gg = M.scalars_from_ints(
-        SPEC, [x * gamma % SPEC.modulus for x in pows[: max_degree + 2]]
+        spec, [x * gamma % spec.modulus for x in pows[: max_degree + 2]]
     )
-    powers_of_g = G1.to_affine(M.fixed_base_mul(G1, g, sc_g))
-    powers_of_gamma_g = G1.to_affine(M.fixed_base_mul(G1, g, sc_gg))
+    powers_of_g = g1.to_affine(M.fixed_base_mul(g1, g, sc_g))
+    powers_of_gamma_g = g1.to_affine(M.fixed_base_mul(g1, g, sc_gg))
 
-    beta_h = C.scalar_mul_int(G2, h, beta)
+    beta_h = C.scalar_mul_int(g2, h, beta)
     neg = None
     if produce_g2_powers:
         # neg_powers_of_h[i] = beta^{-i} h (kzg10/mod.rs:90-104)
-        binv = pow(beta, -1, SPEC.modulus)
+        binv = pow(beta, -1, spec.modulus)
         npows = [1] * (max_degree + 1)
         for i in range(1, max_degree + 1):
-            npows[i] = npows[i - 1] * binv % SPEC.modulus
-        neg = G2.to_affine(
-            M.fixed_base_mul(G2, h, M.scalars_from_ints(SPEC, npows))
+            npows[i] = npows[i - 1] * binv % spec.modulus
+        neg = g2.to_affine(
+            M.fixed_base_mul(g2, h, M.scalars_from_ints(spec, npows))
         )
 
     def aff(pt):
-        x, y, inf = G2.to_affine(pt)
+        x, y, inf = g2.to_affine(pt)
         return (x, y, inf)
 
     return UniversalParams(
@@ -190,15 +220,16 @@ def _pad_to(coeffs: jnp.ndarray, n: int) -> jnp.ndarray:
     return coeffs
 
 
+@traced("KZG10::commit")
 def commit(powers: Powers, coeffs: jnp.ndarray, hiding_bound: Optional[int] = None,
-           rng: HostRng | None = None):
+           rng: HostRng | None = None, ctx: CurveCtx = CTX_BLS12_381):
     """Commit to Montgomery coefficient array (D+1, L) (kzg10/mod.rs:157-210).
 
     Returns (Commitment, Randomness).
     """
+    spec = ctx.spec
     check_degree_is_too_large(coeffs.shape[0] - 1, powers.size())
-    pt = M.msm_mont(G1, _pad_to(coeffs, powers.size()), powers.powers_of_g,
-                    assume_distinct=True)
+    pt = _srs_msm(_pad_to(coeffs, powers.size()), powers.powers_of_g, ctx)
     rand = Randomness()
     if hiding_bound is not None:
         if rng is None:
@@ -210,59 +241,73 @@ def commit(powers: Powers, coeffs: jnp.ndarray, hiding_bound: Optional[int] = No
         if n_blind > int(powers.powers_of_gamma_g[0].shape[0]):
             raise errors.HidingBoundToolarge(hiding_bound + 1,
                                              int(powers.powers_of_gamma_g[0].shape[0]))
-        ints = rng.field_ints(SPEC, n_blind)
-        if ints[-1] % SPEC.modulus == 0:
+        ints = rng.field_ints(spec, n_blind)
+        if ints[-1] % spec.modulus == 0:
             ints[-1] = 1  # keep the blinding degree exact
-        blind = F.from_ints(SPEC, ints)
+        blind = F.from_ints(spec, ints)
         rand = Randomness(blinding_polynomial=blind)
         ng = int(powers.powers_of_gamma_g[0].shape[0])
-        hpt = M.msm_mont(G1, _pad_to(blind, ng), powers.powers_of_gamma_g,
-                         assume_distinct=True)
-        pt = G1.add(pt, hpt)
-    return Commitment(point=_to_host(pt)), rand
+        hpt = _srs_msm(_pad_to(blind, ng), powers.powers_of_gamma_g, ctx)
+        pt = ctx.g1.add(pt, hpt)
+    return Commitment(point=_to_host(pt, ctx)), rand
 
 
-def open(powers: Powers, coeffs: jnp.ndarray, point_int: int, rand: Randomness) -> Proof:
+@traced("KZG10::open")
+def open(powers: Powers, coeffs: jnp.ndarray, point_int: int, rand: Randomness,
+         ctx: CurveCtx = CTX_BLS12_381) -> Proof:
     """Single-poly opening proof at a point (kzg10/mod.rs:243-310)."""
+    spec = ctx.spec
     check_degree_is_too_large(coeffs.shape[0] - 1, powers.size())
-    z = F.from_ints(SPEC, point_int)
-    witness, _ = P.divide_by_linear(SPEC, coeffs, z)
+    z = F.from_ints(spec, point_int)
+    witness, _ = P.divide_by_linear(spec, coeffs, z)
     if witness.shape[0] == 0:
-        w_pt = G1.infinity(())
+        w_pt = ctx.g1.infinity(())
     else:
-        w_pt = M.msm_mont(G1, _pad_to(witness, powers.size()), powers.powers_of_g,
-                          assume_distinct=True)
+        w_pt = _srs_msm(_pad_to(witness, powers.size()), powers.powers_of_g, ctx)
     random_v = None
     if rand.is_hiding():
         blind = rand.blinding_polynomial
-        bw, brem = P.divide_by_linear(SPEC, blind, z)
-        random_v = F.to_ints(SPEC, brem)
+        bw, brem = P.divide_by_linear(spec, blind, z)
+        random_v = F.to_ints(spec, brem)
         if bw.shape[0] > 0:
             ng = int(powers.powers_of_gamma_g[0].shape[0])
-            hw = M.msm_mont(G1, _pad_to(bw, ng), powers.powers_of_gamma_g,
-                            assume_distinct=True)
-            w_pt = G1.add(w_pt, hw)
-    return Proof(w=_to_host(w_pt), random_v=random_v)
+            hw = _srs_msm(_pad_to(bw, ng), powers.powers_of_gamma_g, ctx)
+            w_pt = ctx.g1.add(w_pt, hw)
+    return Proof(w=_to_host(w_pt, ctx), random_v=random_v)
 
 
+@traced("KZG10::check")
 def check(vk: VerifierKey, comm: Commitment, point_int: int, value_int: int,
-          proof: Proof) -> bool:
-    """e(C - v g - rv gamma_g, h) == e(w, beta_h - z h) (kzg10/mod.rs:314-333)."""
-    cpt = _dev_pt(comm.point)
-    adj = G1.add(cpt, G1.neg(C.scalar_mul_int(G1, _as_proj(vk.g), value_int)))
+          proof: Proof, ctx: CurveCtx = CTX_BLS12_381) -> bool:
+    """e(C - v g - rv gamma_g, h) == e(w, beta_h - z h) (kzg10/mod.rs:314-333).
+
+    Verifier-side: a handful of points, host-int EC math + host pairing
+    (device pairing kernels on TPU for 381 via the ctx dispatch)."""
+    hg1, hg2 = ctx.hg1, ctx.hg2
+    from ..core import hostec
+
+    c_h = hostec.triple_to_host(comm.point)
+    adj = hg1.sub(c_h, hg1.mul(hostec.triple_to_host(_vk_host(vk, "g", ctx)), value_int))
     if proof.random_v is not None:
-        adj = G1.add(
-            adj, G1.neg(C.scalar_mul_int(G1, _as_proj(vk.gamma_g), proof.random_v))
+        adj = hg1.sub(
+            adj, hg1.mul(hostec.triple_to_host(_vk_host(vk, "gamma_g", ctx)), proof.random_v)
         )
-    w = _dev_pt(proof.w)
-    # beta_h - z h in G2
-    zh = C.scalar_mul_int(G2, _as_proj_g2(vk.h), point_int)
-    rhs_g2 = G2.add(_as_proj_g2(vk.beta_h), G2.neg(zh))
-    return _pairing_product_is_one([adj, G1.neg(w)], [_as_proj_g2(vk.h), rhs_g2])
+    w = hostec.triple_to_host(proof.w)
+    h_h = hostec.triple_to_host(_vk_host(vk, "h", ctx))
+    bh_h = hostec.triple_to_host(_vk_host(vk, "beta_h", ctx))
+    rhs_g2 = hg2.sub(bh_h, hg2.mul(h_h, point_int))
+    fq2 = True
+    return ctx.pairing_product_is_one(
+        [hostec.host_to_triple(adj), hostec.host_to_triple(hg1.neg(w) if w else None)],
+        [hostec.host_to_triple(h_h, fq2), hostec.host_to_triple(rhs_g2, fq2)],
+    )
 
 
-def batch_check(vk: VerifierKey, comms, points, values, proofs, rng: HostRng) -> bool:
+@traced("KZG10::batch_check")
+def batch_check(vk: VerifierKey, comms, points, values, proofs, rng: HostRng,
+                ctx: CurveCtx = CTX_BLS12_381) -> bool:
     """RLC of n openings into one 2-pairing check (kzg10/mod.rs:337-391)."""
+    g1, spec = ctx.g1, ctx.spec
     n = len(comms)
     rs = [1] + [rng.u128() for _ in range(n - 1)]
     # total_c = sum r_i (c_i + z_i w_i - v_i g - rv_i gamma_g); total_w = sum r_i w_i
@@ -274,25 +319,29 @@ def batch_check(vk: VerifierKey, comms, points, values, proofs, rng: HostRng) ->
         c_sc.append(r)
         w_pts.append(pf.w)
         c_pts.append(pf.w)
-        c_sc.append(r * z % SPEC.modulus)
+        c_sc.append(r * z % spec.modulus)
         w_sc.append(r)
-        g_mult = (g_mult + r * v) % SPEC.modulus
+        g_mult = (g_mult + r * v) % spec.modulus
         if pf.random_v is not None:
-            gg_mult = (gg_mult + r * pf.random_v) % SPEC.modulus
-    ga = C.affine_from_ints(G1, [_host_aff(vk.g)])
-    gga = C.affine_from_ints(G1, [_host_aff(vk.gamma_g)])
-    c_pts_d = C.affine_from_ints(G1, c_pts)
-    total_c = M.msm(G1, M.scalars_from_ints(SPEC, c_sc), c_pts_d)
-    total_c = G1.add(
-        total_c, G1.neg(C.scalar_mul_int(G1, _first(ga), g_mult))
+            gg_mult = (gg_mult + r * pf.random_v) % spec.modulus
+    ga = C.affine_from_ints(g1, [_vk_host(vk, "g", ctx)])
+    gga = C.affine_from_ints(g1, [_vk_host(vk, "gamma_g", ctx)])
+    c_pts_d = C.affine_from_ints(g1, c_pts)
+    total_c = M.msm(g1, M.scalars_from_ints(spec, c_sc), c_pts_d)
+    total_c = g1.add(
+        total_c, g1.neg(C.scalar_mul_int(g1, _first(ga, g1), g_mult))
     )
-    total_c = G1.add(
-        total_c, G1.neg(C.scalar_mul_int(G1, _first(gga), gg_mult))
+    total_c = g1.add(
+        total_c, g1.neg(C.scalar_mul_int(g1, _first(gga, g1), gg_mult))
     )
-    w_pts_d = C.affine_from_ints(G1, w_pts)
-    total_w = M.msm(G1, M.scalars_from_ints(SPEC, w_sc), w_pts_d)
-    return _pairing_product_is_one(
-        [total_c, G1.neg(total_w)], [_as_proj_g2(vk.h), _as_proj_g2(vk.beta_h)]
+    w_pts_d = C.affine_from_ints(g1, w_pts)
+    total_w = M.msm(g1, M.scalars_from_ints(spec, w_sc), w_pts_d)
+    from ..core.serialize import device_point_to_ints
+
+    return ctx.pairing_product_is_one(
+        [device_point_to_ints(g1, total_c),
+         device_point_to_ints(g1, g1.neg(total_w))],
+        [_vk_host(vk, "h", ctx), _vk_host(vk, "beta_h", ctx)],
     )
 
 
@@ -301,30 +350,25 @@ def batch_check(vk: VerifierKey, comms, points, values, proofs, rng: HostRng) ->
 # ---------------------------------------------------------------------------
 
 
-def _dev_pt(int_triple):
-    aff = C.affine_from_ints(G1, [int_triple])
-    return _first(aff)
-
-
-def _first(aff_batch):
+def _first(aff_batch, group=None):
+    group = group or G1
     x, y, inf = aff_batch
-    return G1.from_affine(x[0], y[0], inf[0])
+    return group.from_affine(x[0], y[0], inf[0])
 
 
-def _as_proj(aff_single):
-    x, y, inf = aff_single
-    return G1.from_affine(x, y, inf)
+def _vk_host(vk, name: str, ctx: CurveCtx = CTX_BLS12_381):
+    """VerifierKey device point -> host int triple (cached on the vk)."""
+    cache = getattr(vk, "_host_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(vk, "_host_cache", cache)
+    if name not in cache:
+        from ..core.serialize import device_point_to_ints
 
-
-def _as_proj_g2(aff_single):
-    x, y, inf = aff_single
-    return G2.from_affine(x, y, inf)
-
-
-def _host_aff(aff_single):
-    from ..core.serialize import device_point_to_ints
-
-    return device_point_to_ints(G1, _as_proj(aff_single))
+        grp = ctx.g1 if name in ("g", "gamma_g") else ctx.g2
+        x, y, inf = getattr(vk, name)
+        cache[name] = device_point_to_ints(grp, grp.from_affine(x, y, inf))
+    return cache[name]
 
 
 def pairing_backend() -> str:
@@ -353,14 +397,6 @@ def pairing_product_is_one_host(g1_triples, g2_triples) -> bool:
     p_aff = C.affine_from_ints(G1, g1_triples)
     q_aff = C.affine_from_ints(G2, g2_triples)
     return pairing_check_padded(p_aff, q_aff)
-
-
-def _pairing_product_is_one(g1_projs, g2_projs) -> bool:
-    from ..core.serialize import device_point_to_ints
-
-    g1s = [device_point_to_ints(G1, p) for p in g1_projs]
-    g2s = [device_point_to_ints(G2, q) for q in g2_projs]
-    return pairing_product_is_one_host(g1s, g2s)
 
 
 def pairing_check_padded(p_aff, q_aff, multiple: int = 4) -> bool:

@@ -63,7 +63,20 @@ class SparseMat:
 
 
 def make_mat(spec, n: int, m: int, d: int, rng) -> SparseMat:
-    """Fisher-Yates: d distinct nonzero entries per row (brakedown.rs:305-333)."""
+    """Fisher-Yates: d distinct nonzero entries per row (brakedown.rs:305-333).
+
+    Degenerate shapes (m == 0 columns or d == 0 nnz/row) are valid: the
+    dims recursion can emit an all-zero / zero-column B level (the
+    reference's SprsMat::new_from_columns accepts them, utils.rs:24-107),
+    and row_mul then yields an all-zero / empty output segment.
+    """
+    if m == 0 or d == 0:
+        return SparseMat(
+            n=n,
+            m=m,
+            row_idx=jnp.zeros((m, 1), jnp.int32),
+            val=jnp.zeros((m, 1, spec.n_limbs), jnp.uint32),
+        )
     cols: List[List[tuple]] = [[] for _ in range(m)]
     tmp = list(range(m))
     for i in range(n):
@@ -179,7 +192,7 @@ def _mat_size(spec, m, base_len, a, b, r):
     b_dims = []
     for (an, am, _) in a_dims:
         rows = ceil_mul(am, r)
-        cols = ceil_mul(an, r) - an - rows
+        cols = max(0, ceil_mul(an, r) - an - rows)
         dn = min(_dn(spec, rows, b, r, d), cols)
         b_dims.append((rows, cols, dn))
     return a_dims, b_dims

@@ -31,6 +31,7 @@ from ...utils.merkle import MerkleConfig, MerklePath, MerkleTree, blake2s_hash, 
 from .. import errors
 from ..data_structures import LabeledCommitment, PolynomialCommitment
 from .utils import calculate_t, get_indices_from_sponge
+from ...utils.trace import traced
 
 
 @dataclasses.dataclass
@@ -93,6 +94,7 @@ class LinearCodePCS(PolynomialCommitment):
     code = None  # injected by concrete schemes
 
     @classmethod
+    @traced("LinearCodePCS::setup")
     def setup(cls, max_degree, num_vars=None, rng=None):
         pp = cls.code.setup(max_degree, num_vars, rng)
         if pp.max_degree_supported() == 0 or (
@@ -111,6 +113,7 @@ class LinearCodePCS(PolynomialCommitment):
         return cls.code.evaluate_poly(labeled_poly, point)
 
     @classmethod
+    @traced("LinearCodePCS::commit")
     def commit(cls, ck, polynomials, rng=None):
         spec = cls.spec
         comms, states = [], []
@@ -143,6 +146,7 @@ class LinearCodePCS(PolynomialCommitment):
         return comms, states
 
     @classmethod
+    @traced("LinearCodePCS::open")
     def open(cls, ck, polynomials, commitments, point, sponge, states, rng=None):
         spec = cls.spec
         proof_array = []
@@ -182,6 +186,7 @@ class LinearCodePCS(PolynomialCommitment):
         return proof_array
 
     @classmethod
+    @traced("LinearCodePCS::check")
     def check(cls, vk, commitments, point, values, proof_array, sponge):
         spec = cls.spec
         p_mod = spec.modulus

@@ -27,8 +27,10 @@ from ..core import poly as P
 from ..core.curve import BLS12_381_G1
 from ..core.field_params import FR_BLS12_381
 from . import errors, kzg10
+from .curve_ctx import CTX_BLS12_377, CTX_BLS12_381
 from .data_structures import (
     HostRng,
+    derive_batch_rng,
     LabeledCommitment,
     LabeledPolynomial,
     LinearCombination,
@@ -36,6 +38,7 @@ from .data_structures import (
     _group_queries,
     _pt_key,
 )
+from ..utils.trace import traced
 
 SPEC = FR_BLS12_381
 HG1 = hostec.host_group(BLS12_381_G1)
@@ -91,11 +94,11 @@ class Commitment:
     comm: tuple
     shifted_comm: Optional[tuple] = None
 
-    def absorb_ints(self):
+    def absorb_ints(self, spec=SPEC):
         out = list(self.comm[:2]) + [int(self.comm[2])]
         if self.shifted_comm is not None:
             out += list(self.shifted_comm[:2]) + [int(self.shifted_comm[2])]
-        return [v % SPEC.modulus if not isinstance(v, bool) else int(v) for v in out]
+        return [v % spec.modulus if not isinstance(v, bool) else int(v) for v in out]
 
 
 @dataclasses.dataclass
@@ -118,26 +121,34 @@ def _check_degrees_and_bounds(supported_degree, max_degree, enforced_bounds, lp)
             raise errors.UnsupportedDegreeBound(bound)
 
 
-def _scale_poly(coeffs, k_int):
-    return P.scale(SPEC, coeffs, F.from_ints(SPEC, k_int))
+def _scale_poly(coeffs, k_int, spec=SPEC):
+    return P.scale(spec, coeffs, F.from_ints(spec, k_int))
 
 
-def _add_rand(acc: Optional[jnp.ndarray], blind: Optional[jnp.ndarray], k_int):
+def _add_rand(acc: Optional[jnp.ndarray], blind: Optional[jnp.ndarray], k_int,
+              spec=SPEC):
     """acc += k * blind on blinding polynomials (None = zero)."""
     if blind is None:
         return acc
-    scaled = _scale_poly(blind, k_int)
-    return scaled if acc is None else P.add(SPEC, acc, scaled)
+    scaled = _scale_poly(blind, k_int, spec)
+    return scaled if acc is None else P.add(spec, acc, scaled)
 
 
 class MarlinKZG10(PolynomialCommitment):
+    """BLS12-381 instantiation; MarlinKZG10_BLS12_377 overrides CTX -- the
+    reference's two-curve test matrix (marlin_pc/mod.rs:531-815)."""
+
+    CTX = CTX_BLS12_381
     spec = SPEC
 
     @classmethod
+    @traced("MarlinKZG10::setup")
     def setup(cls, max_degree, num_vars=None, rng=None):
-        return kzg10.setup(max_degree, produce_g2_powers=False, rng=rng)
+        return kzg10.setup(max_degree, produce_g2_powers=False, rng=rng,
+                           ctx=cls.CTX)
 
     @classmethod
+    @traced("MarlinKZG10::trim")
     def trim(cls, pp, supported_degree, supported_hiding_bound=0, enforced_degree_bounds=None):
         max_degree = pp.max_degree
         if supported_degree > max_degree:
@@ -154,9 +165,10 @@ class MarlinKZG10(PolynomialCommitment):
             shifted_powers = take(pp.powers_of_g, slice(lowest, None))
             from ..core.serialize import device_points_to_ints
 
+            g1 = cls.CTX.g1
             all_pts = device_points_to_ints(
-                BLS12_381_G1,
-                BLS12_381_G1.from_affine(
+                g1,
+                g1.from_affine(
                     pp.powers_of_g[0], pp.powers_of_g[1], pp.powers_of_g[2]
                 ),
             )
@@ -179,6 +191,7 @@ class MarlinKZG10(PolynomialCommitment):
         return ck, vk
 
     @classmethod
+    @traced("MarlinKZG10::commit")
     def commit(cls, ck, polynomials, rng=None):
         comms, states = [], []
         for lp in polynomials:
@@ -186,7 +199,7 @@ class MarlinKZG10(PolynomialCommitment):
                 ck.supported_degree, ck.max_degree, ck.enforced_degree_bounds, lp
             )
             kp = kzg10.Powers(ck.powers, ck.powers_of_gamma_g)
-            c, r = kzg10.commit(kp, lp.poly, lp.hiding_bound, rng)
+            c, r = kzg10.commit(kp, lp.poly, lp.hiding_bound, rng, ctx=cls.CTX)
             shifted_c, shifted_r = None, None
             if lp.degree_bound is not None:
                 sp = ck.shifted_powers_for(None)
@@ -198,7 +211,8 @@ class MarlinKZG10(PolynomialCommitment):
                 largest = ck.enforced_degree_bounds[-1]
                 shifted_poly = P.shift(lp.poly, largest - lp.degree_bound)
                 ksp = kzg10.Powers(sp, ck.powers_of_gamma_g)
-                sc, sr = kzg10.commit(ksp, shifted_poly, lp.hiding_bound, rng)
+                sc, sr = kzg10.commit(ksp, shifted_poly, lp.hiding_bound, rng,
+                                      ctx=cls.CTX)
                 shifted_c, shifted_r = sc, sr
             comms.append(
                 LabeledCommitment(
@@ -214,10 +228,12 @@ class MarlinKZG10(PolynomialCommitment):
         return comms, states
 
     @classmethod
+    @traced("MarlinKZG10::open")
     def open(cls, ck, polynomials, commitments, point, sponge, states, rng=None):
         """marlin_pc/mod.rs:245-336."""
-        z_int = int(point) % SPEC.modulus
-        z = F.from_ints(SPEC, z_int)
+        spec = cls.CTX.spec
+        z_int = int(point) % spec.modulus
+        z = F.from_ints(spec, z_int)
 
         p_comb = None
         r_comb = None  # combined blinding polynomial
@@ -231,86 +247,93 @@ class MarlinKZG10(PolynomialCommitment):
                 ck.supported_degree, ck.max_degree, ck.enforced_degree_bounds, lp
             )
             c_j = sponge.squeeze_challenge_128()
-            scaled = _scale_poly(lp.poly, c_j)
-            p_comb = scaled if p_comb is None else P.add(SPEC, p_comb, scaled)
-            r_comb = _add_rand(r_comb, st.rand.blinding_polynomial, c_j)
+            scaled = _scale_poly(lp.poly, c_j, spec)
+            p_comb = scaled if p_comb is None else P.add(spec, p_comb, scaled)
+            r_comb = _add_rand(r_comb, st.rand.blinding_polynomial, c_j, spec)
 
             if lp.degree_bound is not None:
                 enforce = True
                 c_j1 = sponge.squeeze_challenge_128()
-                witness, _ = P.divide_by_linear(SPEC, lp.poly, z)
+                witness, _ = P.divide_by_linear(spec, lp.poly, z)
                 largest = ck.enforced_degree_bounds[-1]
                 shifted_witness = P.shift(witness, largest - lp.degree_bound)
                 shifted_w = (
-                    _scale_poly(shifted_witness, c_j1)
+                    _scale_poly(shifted_witness, c_j1, spec)
                     if shifted_w is None
-                    else P.add(SPEC, shifted_w, _scale_poly(shifted_witness, c_j1))
+                    else P.add(spec, shifted_w,
+                               _scale_poly(shifted_witness, c_j1, spec))
                 )
                 sr = st.shifted_rand
-                shifted_r = _add_rand(shifted_r, sr.blinding_polynomial, c_j1)
+                shifted_r = _add_rand(shifted_r, sr.blinding_polynomial, c_j1, spec)
                 if sr.blinding_polynomial is not None:
-                    bw, _ = P.divide_by_linear(SPEC, sr.blinding_polynomial, z)
-                    shifted_r_witness = _add_rand(shifted_r_witness, bw, c_j1)
+                    bw, _ = P.divide_by_linear(spec, sr.blinding_polynomial, z)
+                    shifted_r_witness = _add_rand(shifted_r_witness, bw, c_j1, spec)
 
         kp = kzg10.Powers(ck.powers, ck.powers_of_gamma_g)
-        proof = kzg10.open(kp, p_comb, z_int, kzg10.Randomness(r_comb))
+        proof = kzg10.open(kp, p_comb, z_int, kzg10.Randomness(r_comb),
+                           ctx=cls.CTX)
         w_host = hostec.triple_to_host(proof.w)
         random_v = proof.random_v
 
         if enforce:
             from ..core import msm as M
 
+            g1 = cls.CTX.g1
             sp_all = ck.shifted_powers_for(None)
             w_pt = M.msm_mont(
-                BLS12_381_G1, shifted_w,
+                g1, shifted_w,
                 tuple(a[: shifted_w.shape[0]] for a in sp_all),
                 assume_distinct=True,
             )
             if shifted_r_witness is not None:
                 hw = M.msm_mont(
-                    BLS12_381_G1,
+                    g1,
                     shifted_r_witness,
                     tuple(
                         a[: shifted_r_witness.shape[0]] for a in ck.powers_of_gamma_g
                     ),
                 )
-                w_pt = BLS12_381_G1.add(w_pt, hw)
+                w_pt = g1.add(w_pt, hw)
             from ..core.serialize import device_point_to_ints
 
-            sw_host = hostec.triple_to_host(device_point_to_ints(BLS12_381_G1, w_pt))
-            w_host = HG1.add(w_host, sw_host)
+            sw_host = hostec.triple_to_host(device_point_to_ints(g1, w_pt))
+            w_host = cls.CTX.hg1.add(w_host, sw_host)
             if shifted_r is not None:
-                srv = F.to_ints(SPEC, P.evaluate(SPEC, shifted_r, z))
-                random_v = ((random_v or 0) + srv) % SPEC.modulus
+                srv = F.to_ints(spec, P.evaluate(spec, shifted_r, z))
+                random_v = ((random_v or 0) + srv) % spec.modulus
 
         return kzg10.Proof(w=hostec.host_to_triple(w_host), random_v=random_v)
 
     @classmethod
     def _accumulate(cls, vk, commitments, values, sponge):
         """marlin/mod.rs:109-148 on host ints."""
+        hg1 = cls.CTX.hg1
+        spec = cls.CTX.spec
         combined = None
         combined_value = 0
         for lc, v in zip(commitments, values):
             cm = lc.commitment
             c_i = sponge.squeeze_challenge_128()
-            combined = HG1.add(combined, HG1.mul(hostec.triple_to_host(cm.comm), c_i))
-            combined_value = (combined_value + v * c_i) % SPEC.modulus
+            combined = hg1.add(combined, hg1.mul(hostec.triple_to_host(cm.comm), c_i))
+            combined_value = (combined_value + v * c_i) % spec.modulus
             if lc.degree_bound is not None:
                 c_i1 = sponge.squeeze_challenge_128()
                 shift_power = vk.get_shift_power(lc.degree_bound)
                 if shift_power is None:
                     raise errors.UnsupportedDegreeBound(lc.degree_bound)
-                adjusted = HG1.sub(
+                adjusted = hg1.sub(
                     hostec.triple_to_host(cm.shifted_comm),
-                    HG1.mul(hostec.triple_to_host(shift_power), v),
+                    hg1.mul(hostec.triple_to_host(shift_power), v),
                 )
-                combined = HG1.add(combined, HG1.mul(adjusted, c_i1))
+                combined = hg1.add(combined, hg1.mul(adjusted, c_i1))
         return combined, combined_value
 
     @classmethod
+    @traced("MarlinKZG10::check")
     def check(cls, vk, commitments, point, values, proof, sponge):
-        z_int = int(point) % SPEC.modulus
-        values = [int(v) % SPEC.modulus for v in values]
+        spec = cls.CTX.spec
+        z_int = int(point) % spec.modulus
+        values = [int(v) % spec.modulus for v in values]
         combined, combined_value = cls._accumulate(vk, commitments, values, sponge)
         return kzg10.check(
             vk.vk,
@@ -318,11 +341,14 @@ class MarlinKZG10(PolynomialCommitment):
             z_int,
             combined_value,
             proof,
+            ctx=cls.CTX,
         )
 
     @classmethod
+    @traced("MarlinKZG10::batch_check")
     def batch_check(cls, vk, commitments, query_set, evaluations, proofs, sponge, rng=None):
         """marlin/mod.rs:151-219 + kzg10 batch_check RLC."""
+        spec = cls.CTX.spec
         comms = {c.label: c for c in commitments}
         grouped = _group_queries(query_set)
         assert len(grouped) == len(proofs)
@@ -336,18 +362,25 @@ class MarlinKZG10(PolynomialCommitment):
                 if key not in evaluations:
                     raise errors.MissingEvaluation(str(key))
                 cs.append(comms[label])
-                vs.append(int(evaluations[key]) % SPEC.modulus)
+                vs.append(int(evaluations[key]) % spec.modulus)
             c, v = cls._accumulate(vk, cs, vs, sponge)
             combined_comms.append(kzg10.Commitment(hostec.host_to_triple(c)))
-            points.append(int(point) % SPEC.modulus)
+            points.append(int(point) % spec.modulus)
             evals.append(v)
-        rng = rng or HostRng(0xBA7C)
-        return kzg10.batch_check(vk.vk, combined_comms, points, evals, proofs, rng)
+        # sponge-derived randomizers when the caller brings no rng: the
+        # 128-bit RLC coefficients must be unpredictable to the prover
+        # (the reference requires the rng argument, kzg10/mod.rs:337-391)
+        rng = rng or derive_batch_rng(sponge, combined_comms, points, evals, proofs)
+        return kzg10.batch_check(vk.vk, combined_comms, points, evals, proofs, rng,
+                                 ctx=cls.CTX)
 
     # -- LC overrides (marlin/mod.rs:224-408) ---------------------------
     @classmethod
+    @traced("MarlinKZG10::open_combinations")
     def open_combinations(cls, ck, linear_combinations, polynomials, commitments,
                           eqn_query_set, sponge, states, rng=None):
+        spec = cls.CTX.spec
+        hg1 = cls.CTX.hg1
         label_map = {
             p.label: (p, s, c)
             for p, s, c in zip(polynomials, states, commitments)
@@ -370,29 +403,29 @@ class MarlinKZG10(PolynomialCommitment):
                     raise errors.MissingPolynomial(term)
                 cp, cs, cc = label_map[term]
                 if num == 1 and cp.degree_bound is not None:
-                    assert coeff % SPEC.modulus == 1, "degree-bounded equations need coeff 1"
+                    assert coeff % spec.modulus == 1, "degree-bounded equations need coeff 1"
                     degree_bound = cp.degree_bound
                 elif cp.degree_bound is not None:
                     raise errors.EquationHasDegreeBounds(lc.label)
                 hiding_bound = max(hiding_bound or 0, cp.hiding_bound or 0) or None
-                scaled = _scale_poly(cp.poly, coeff)
-                poly = scaled if poly is None else P.add(SPEC, poly, scaled)
-                rand_acc = _add_rand(rand_acc, cs.rand.blinding_polynomial, coeff)
+                scaled = _scale_poly(cp.poly, coeff, spec)
+                poly = scaled if poly is None else P.add(spec, poly, scaled)
+                rand_acc = _add_rand(rand_acc, cs.rand.blinding_polynomial, coeff, spec)
                 if cs.shifted_rand is not None:
                     srand_acc = _add_rand(
-                        srand_acc, cs.shifted_rand.blinding_polynomial, coeff
+                        srand_acc, cs.shifted_rand.blinding_polynomial, coeff, spec
                     )
-                comb = HG1.add(
-                    comb, HG1.mul(hostec.triple_to_host(cc.commitment.comm), coeff)
+                comb = hg1.add(
+                    comb, hg1.mul(hostec.triple_to_host(cc.commitment.comm), coeff)
                 )
                 if cc.commitment.shifted_comm is not None:
                     has_shift = True
-                    scomb = HG1.add(
+                    scomb = hg1.add(
                         scomb,
-                        HG1.mul(hostec.triple_to_host(cc.commitment.shifted_comm), coeff),
+                        hg1.mul(hostec.triple_to_host(cc.commitment.shifted_comm), coeff),
                     )
             if poly is None:
-                poly = F.zeros(SPEC, (1,))
+                poly = F.zeros(spec, (1,))
             lc_polys.append(
                 LabeledPolynomial(lc.label, poly, degree_bound, hiding_bound)
             )
@@ -418,11 +451,14 @@ class MarlinKZG10(PolynomialCommitment):
         return (proofs, None)  # BatchLCProof{proof, evals: None}
 
     @classmethod
+    @traced("MarlinKZG10::check_combinations")
     def check_combinations(cls, vk, linear_combinations, commitments, eqn_query_set,
                            eqn_evaluations, proof_and_evals, sponge):
         proofs, _ = proof_and_evals
+        spec = cls.CTX.spec
+        hg1 = cls.CTX.hg1
         comm_map = {c.label: c for c in commitments}
-        evals = {k: int(v) % SPEC.modulus for k, v in eqn_evaluations.items()}
+        evals = {k: int(v) % spec.modulus for k, v in eqn_evaluations.items()}
         lc_comms = []
         for lc in linear_combinations:
             degree_bound = None
@@ -434,24 +470,24 @@ class MarlinKZG10(PolynomialCommitment):
                 if term == "one":
                     for key in list(evals):
                         if key[0] == lc.label:
-                            evals[key] = (evals[key] - coeff) % SPEC.modulus
+                            evals[key] = (evals[key] - coeff) % spec.modulus
                 else:
                     if term not in comm_map:
                         raise errors.MissingPolynomial(term)
                     cc = comm_map[term]
                     if num == 1 and cc.degree_bound is not None:
-                        assert coeff % SPEC.modulus == 1
+                        assert coeff % spec.modulus == 1
                         degree_bound = cc.degree_bound
                     elif cc.degree_bound is not None:
                         raise errors.EquationHasDegreeBounds(lc.label)
-                    comb = HG1.add(
-                        comb, HG1.mul(hostec.triple_to_host(cc.commitment.comm), coeff)
+                    comb = hg1.add(
+                        comb, hg1.mul(hostec.triple_to_host(cc.commitment.comm), coeff)
                     )
                     if cc.commitment.shifted_comm is not None:
                         has_shift = True
-                        scomb = HG1.add(
+                        scomb = hg1.add(
                             scomb,
-                            HG1.mul(
+                            hg1.mul(
                                 hostec.triple_to_host(cc.commitment.shifted_comm), coeff
                             ),
                         )
@@ -466,3 +502,11 @@ class MarlinKZG10(PolynomialCommitment):
                 )
             )
         return cls.batch_check(vk, lc_comms, eqn_query_set, evals, proofs, sponge)
+
+
+class MarlinKZG10_BLS12_377(MarlinKZG10):
+    """The second reference curve (marlin_pc tests over Bls12_377,
+    marlin_pc/mod.rs:538-568 etc.). Same scheme, different CurveCtx."""
+
+    CTX = CTX_BLS12_377
+    spec = CTX_BLS12_377.spec

@@ -36,12 +36,14 @@ from ..core.serialize import device_point_to_ints, device_points_to_ints
 from . import errors
 from .data_structures import (
     HostRng,
+    derive_batch_rng,
     LabeledCommitment,
     PolynomialCommitment,
     _group_queries,
     _pt_key,
 )
-from .kzg10 import pairing_product_is_one_host
+from .curve_ctx import CTX_BLS12_377, CTX_BLS12_381
+from ..utils.trace import traced
 
 G1 = BLS12_381_G1
 G2 = BLS12_381_G2
@@ -57,11 +59,13 @@ HG1 = hostec.host_group(G1)
 class MVPoly:
     """terms: dict[tuple[int, ...]] -> int coefficient (canonical, mod p)."""
 
-    def __init__(self, num_vars: int, terms: Optional[dict] = None):
+    def __init__(self, num_vars: int, terms: Optional[dict] = None,
+                 spec=SPEC):
         self.num_vars = num_vars
+        self.spec = spec
         self.terms = {}
         for t, c in (terms or {}).items():
-            c %= SPEC.modulus
+            c %= spec.modulus
             if c:
                 self.terms[tuple(t)] = c
 
@@ -72,7 +76,7 @@ class MVPoly:
         return not self.terms
 
     def evaluate(self, point) -> int:
-        p = SPEC.modulus
+        p = self.spec.modulus
         acc = 0
         for t, c in self.terms.items():
             v = c
@@ -83,27 +87,28 @@ class MVPoly:
         return acc
 
     def scaled_add(self, other: "MVPoly", k: int) -> "MVPoly":
-        p = SPEC.modulus
+        p = self.spec.modulus
         out = dict(self.terms)
         for t, c in other.terms.items():
             out[t] = (out.get(t, 0) + k * c) % p
-        return MVPoly(self.num_vars, out)
+        return MVPoly(self.num_vars, out, spec=self.spec)
 
     @classmethod
-    def rand(cls, rng: HostRng, num_vars: int, degree: int, num_terms: int = 8):
+    def rand(cls, rng: HostRng, num_vars: int, degree: int, num_terms: int = 8,
+             spec=SPEC):
         terms = {}
         for _ in range(num_terms):
             d = rng.randint(0, degree)
             t = [0] * num_vars
             for _ in range(d):
                 t[rng.randint(0, num_vars - 1)] += 1
-            terms[tuple(t)] = rng.field_int(SPEC)
-        return cls(num_vars, terms)
+            terms[tuple(t)] = rng.field_int(spec)
+        return cls(num_vars, terms, spec=spec)
 
 
 def divide_at_point(poly: MVPoly, point) -> list:
     """p(X) - p(z) = sum_i (X_i - z_i) w_i(X) (mod.rs:44-92)."""
-    p = SPEC.modulus
+    p = poly.spec.modulus
     nv = poly.num_vars
     quotients = []
     cur = poly.terms
@@ -131,7 +136,7 @@ def divide_at_point(poly: MVPoly, point) -> list:
             tl[i] = 0
             addto(q, tuple(tl), c)
             addto(rem, tuple(tl), zi * c % p)
-        quotients.append(MVPoly(nv, q))
+        quotients.append(MVPoly(nv, q, spec=poly.spec))
         cur = {t: c for t, c in rem.items() if c}
     return quotients
 
@@ -217,23 +222,29 @@ class Proof:
 
 
 class MarlinPST13(PolynomialCommitment):
+    """BLS12-381 instantiation; MarlinPST13_BLS12_377 overrides CTX (the
+    reference's two-curve test matrix, marlin_pst13_pc tests)."""
+
+    CTX = CTX_BLS12_381
     spec = SPEC
 
     @classmethod
+    @traced("MarlinPST13::setup")
     def setup(cls, max_degree, num_vars=None, rng=None):
         if num_vars is None or num_vars < 1:
             raise errors.InvalidNumberOfVariables()
         if max_degree < 1:
             raise errors.DegreeIsZero()
         rng = rng or HostRng(0)
-        p = SPEC.modulus
-        betas = [rng.field_int(SPEC) for _ in range(num_vars)]
-        g_k = rng.field_int(SPEC)
-        gg_k = rng.field_int(SPEC)
-        h_k = rng.field_int(SPEC)
-        g = C.scalar_mul_int(G1, G1.generator(), g_k)
-        gamma_g = C.scalar_mul_int(G1, G1.generator(), gg_k)
-        h = C.scalar_mul_int(G2, G2.generator(), h_k)
+        g1, g2, spec = cls.CTX.g1, cls.CTX.g2, cls.CTX.spec
+        p = spec.modulus
+        betas = [rng.field_int(spec) for _ in range(num_vars)]
+        g_k = rng.field_int(spec)
+        gg_k = rng.field_int(spec)
+        h_k = rng.field_int(spec)
+        g = C.scalar_mul_int(g1, g1.generator(), g_k)
+        gamma_g = C.scalar_mul_int(g1, g1.generator(), gg_k)
+        h = C.scalar_mul_int(g2, g2.generator(), h_k)
 
         monomials = _all_monomials(num_vars, max_degree)
         vals = []
@@ -243,8 +254,8 @@ class MarlinPST13(PolynomialCommitment):
                 if e:
                     v = v * pow(betas[var], e, p) % p
             vals.append(v)
-        powers_of_g = G1.to_affine(
-            M.fixed_base_mul(G1, g, M.scalars_from_ints(SPEC, vals))
+        powers_of_g = g1.to_affine(
+            M.fixed_base_mul(g1, g, M.scalars_from_ints(spec, vals))
         )
         term_index = {t: i for i, t in enumerate(monomials)}
 
@@ -255,30 +266,31 @@ class MarlinPST13(PolynomialCommitment):
             for _ in range(max_degree + 1):
                 cur = cur * betas[i] % p
                 bpows.append(cur)
-            pts = G1.to_affine(
-                M.fixed_base_mul(G1, gamma_g, M.scalars_from_ints(SPEC, bpows))
+            pts = g1.to_affine(
+                M.fixed_base_mul(g1, gamma_g, M.scalars_from_ints(spec, bpows))
             )
             powers_of_gamma_g.append(
-                device_points_to_ints(G1, G1.from_affine(*pts))
+                device_points_to_ints(g1, g1.from_affine(*pts))
             )
 
-        beta_h_pts = G2.to_affine(
-            M.fixed_base_mul(G2, h, M.scalars_from_ints(SPEC, betas))
+        beta_h_pts = g2.to_affine(
+            M.fixed_base_mul(g2, h, M.scalars_from_ints(spec, betas))
         )
-        beta_h = device_points_to_ints(G2, G2.from_affine(*beta_h_pts))
+        beta_h = device_points_to_ints(g2, g2.from_affine(*beta_h_pts))
 
         return UniversalParams(
             num_vars=num_vars,
             max_degree=max_degree,
             term_index=term_index,
             powers_of_g=powers_of_g,
-            gamma_g=device_point_to_ints(G1, gamma_g),
+            gamma_g=device_point_to_ints(g1, gamma_g),
             powers_of_gamma_g=powers_of_gamma_g,
-            h=device_points_to_ints(G2, tuple(a[None] for a in h))[0],
+            h=device_points_to_ints(g2, tuple(a[None] for a in h))[0],
             beta_h=beta_h,
         )
 
     @classmethod
+    @traced("MarlinPST13::trim")
     def trim(cls, pp, supported_degree, supported_hiding_bound=0,
              enforced_degree_bounds=None):
         if supported_degree > pp.max_degree:
@@ -296,9 +308,10 @@ class MarlinPST13(PolynomialCommitment):
             ],
         )
         g_row = pp.term_index[tuple([0] * pp.num_vars)]
+        g1 = cls.CTX.g1
         x, y, inf = pp.powers_of_g
         g_host = device_points_to_ints(
-            G1, G1.from_affine(x[g_row : g_row + 1], y[g_row : g_row + 1],
+            g1, g1.from_affine(x[g_row : g_row + 1], y[g_row : g_row + 1],
                                inf[g_row : g_row + 1])
         )[0]
         vk = VerifierKey(
@@ -324,8 +337,9 @@ class MarlinPST13(PolynomialCommitment):
     @classmethod
     def _term_msm(cls, ck, poly: MVPoly):
         """Gather the term-indexed SRS rows; one device MSM (mod.rs:352-364)."""
+        g1, spec = cls.CTX.g1, cls.CTX.spec
         if poly.is_zero():
-            return G1.infinity(())
+            return g1.infinity(())
         rows = []
         coeffs = []
         for t, c in poly.terms.items():
@@ -335,12 +349,13 @@ class MarlinPST13(PolynomialCommitment):
             coeffs.append(c)
         idx = jnp.asarray(rows, jnp.int32)
         key = tuple(jnp.take(a, idx, axis=0) for a in ck.powers_of_g)
-        return M.msm(G1, M.scalars_from_ints(SPEC, coeffs), key,
+        return M.msm(g1, M.scalars_from_ints(spec, coeffs), key,
                      assume_distinct=True)
 
     @classmethod
     def _gamma_msm(cls, ck, blind: MVPoly):
         """Blinding commitment on host (few univariate monomials)."""
+        hg1 = cls.CTX.hg1
         acc = None
         for t, c in blind.terms.items():
             nz = [v for v, e in enumerate(t) if e]
@@ -352,31 +367,33 @@ class MarlinPST13(PolynomialCommitment):
                 base = hostec.triple_to_host(
                     ck.powers_of_gamma_g[var][t[var] - 1]
                 )
-            acc = HG1.add(acc, HG1.mul(base, c))
+            acc = hg1.add(acc, hg1.mul(base, c))
         return acc
 
     @classmethod
     def _rand_blinding(cls, rng, num_vars, hiding_degree):
-        terms = {tuple([0] * num_vars): rng.field_int(SPEC)}
+        spec = cls.CTX.spec
+        terms = {tuple([0] * num_vars): rng.field_int(spec)}
         for var in range(num_vars):
             for j in range(1, hiding_degree + 1):
                 t = [0] * num_vars
                 t[var] = j
-                terms[tuple(t)] = rng.field_int(SPEC)
-        return MVPoly(num_vars, terms)
+                terms[tuple(t)] = rng.field_int(spec)
+        return MVPoly(num_vars, terms, spec=spec)
 
     @classmethod
     def evaluate_poly(cls, labeled_poly, point):
         return labeled_poly.poly.evaluate(point)
 
     @classmethod
+    @traced("MarlinPST13::commit")
     def commit(cls, ck, polynomials, rng=None):
         comms, states = [], []
         for lp in polynomials:
             cls._check_degrees(ck.supported_degree, lp)
             pt = cls._term_msm(ck, lp.poly)
-            host = hostec.triple_to_host(device_point_to_ints(G1, pt))
-            blind = MVPoly(ck.num_vars)
+            host = hostec.triple_to_host(device_point_to_ints(cls.CTX.g1, pt))
+            blind = MVPoly(ck.num_vars, spec=cls.CTX.spec)
             if lp.hiding_bound is not None:
                 if rng is None:
                     raise errors.MissingRng()
@@ -387,7 +404,7 @@ class MarlinPST13(PolynomialCommitment):
                         lp.hiding_bound, ck.supported_degree + 1
                     )
                 blind = cls._rand_blinding(rng, ck.num_vars, lp.hiding_bound)
-                host = HG1.add(host, cls._gamma_msm(ck, blind))
+                host = cls.CTX.hg1.add(host, cls._gamma_msm(ck, blind))
             comms.append(
                 LabeledCommitment(
                     lp.label, Commitment(hostec.host_to_triple(host)), None
@@ -397,10 +414,11 @@ class MarlinPST13(PolynomialCommitment):
         return comms, states
 
     @classmethod
+    @traced("MarlinPST13::open")
     def open(cls, ck, polynomials, commitments, point, sponge, states, rng=None):
         """mod.rs:419-512."""
-        p_comb = MVPoly(ck.num_vars)
-        r_comb = MVPoly(ck.num_vars)
+        p_comb = MVPoly(ck.num_vars, spec=cls.CTX.spec)
+        r_comb = MVPoly(ck.num_vars, spec=cls.CTX.spec)
         for lp, st in zip(polynomials, states):
             cls._check_degrees(ck.supported_degree, lp)
             ch = sponge.squeeze_challenge_128()
@@ -410,13 +428,14 @@ class MarlinPST13(PolynomialCommitment):
         witnesses = divide_at_point(p_comb, point)
         w_pts = [cls._term_msm(ck, w) for w in witnesses]
         w_hosts = [
-            hostec.triple_to_host(device_point_to_ints(G1, w)) for w in w_pts
+            hostec.triple_to_host(device_point_to_ints(cls.CTX.g1, w))
+            for w in w_pts
         ]
         random_v = None
         if not r_comb.is_zero():
             hiding_witnesses = divide_at_point(r_comb, point)
             w_hosts = [
-                HG1.add(w, cls._gamma_msm(ck, hw))
+                cls.CTX.hg1.add(w, cls._gamma_msm(ck, hw))
                 for w, hw in zip(w_hosts, hiding_witnesses)
             ]
             random_v = r_comb.evaluate(point)
@@ -428,29 +447,31 @@ class MarlinPST13(PolynomialCommitment):
     def _accumulate(cls, vk, commitments, values, sponge):
         """Marlin::accumulate_commitments_and_values (marlin/mod.rs:109-148);
         no degree bounds in PST13 commitments."""
-        p = SPEC.modulus
+        hg1 = cls.CTX.hg1
+        p = cls.CTX.spec.modulus
         combined = None
         combined_value = 0
         for lc, v in zip(commitments, values):
             ch = sponge.squeeze_challenge_128()
-            combined = HG1.add(
-                combined, HG1.mul(hostec.triple_to_host(lc.commitment.comm), ch)
+            combined = hg1.add(
+                combined, hg1.mul(hostec.triple_to_host(lc.commitment.comm), ch)
             )
             combined_value = (combined_value + int(v) * ch) % p
         return combined, combined_value
 
     @classmethod
+    @traced("MarlinPST13::check")
     def check(cls, vk, commitments, point, values, proof, sponge):
         """e(C - v g - rv gamma_g, h) = prod_j e(w_j, beta_j h - z_j h)
         (mod.rs:516-558)."""
-        p = SPEC.modulus
+        hg1, hg2 = cls.CTX.hg1, cls.CTX.hg2
+        p = cls.CTX.spec.modulus
         combined, combined_value = cls._accumulate(vk, commitments, values, sponge)
-        inner = HG1.sub(combined, HG1.mul(hostec.triple_to_host(vk.g), combined_value))
+        inner = hg1.sub(combined, hg1.mul(hostec.triple_to_host(vk.g), combined_value))
         if proof.random_v is not None:
-            inner = HG1.sub(
-                inner, HG1.mul(hostec.triple_to_host(vk.gamma_g), proof.random_v)
+            inner = hg1.sub(
+                inner, hg1.mul(hostec.triple_to_host(vk.gamma_g), proof.random_v)
             )
-        hg2 = hostec.host_group(G2)
         g1s = [hostec.host_to_triple(inner)]
         g2s = [vk.h]
         for j in range(vk.num_vars):
@@ -460,19 +481,25 @@ class MarlinPST13(PolynomialCommitment):
                 hg2.mul(hostec.triple_to_host(vk.h), zj),
             )
             wj = hostec.triple_to_host(proof.w[j])
-            g1s.append(hostec.host_to_triple(HG1.neg(wj)))
+            g1s.append(hostec.host_to_triple(hg1.neg(wj)))
             g2s.append(hostec.host_to_triple(bmz, fq2=True))
-        return pairing_product_is_one_host(g1s, g2s)
+        return cls.CTX.pairing_product_is_one(g1s, g2s)
 
     @classmethod
+    @traced("MarlinPST13::batch_check")
     def batch_check(cls, vk, commitments, query_set, evaluations, proofs,
                     sponge, rng=None):
         """mod.rs:560-636."""
-        p = SPEC.modulus
+        hg1 = cls.CTX.hg1
+        p = cls.CTX.spec.modulus
         comms = {c.label: c for c in commitments}
         grouped = _group_queries(query_set)
         assert len(grouped) == len(proofs)
-        rng = rng or HostRng(0x957)
+        rng = rng or derive_batch_rng(
+            sponge, [c.label for c in commitments],
+            [lc.commitment for lc in commitments], grouped,
+            {str(k): int(v) for k, v in evaluations.items()}, proofs,
+        )
         randomizer = 1
         total_c = None
         total_w = [None] * vk.num_vars
@@ -492,22 +519,29 @@ class MarlinPST13(PolynomialCommitment):
             temp = combined
             for j in range(vk.num_vars):
                 wj = hostec.triple_to_host(proof.w[j])
-                temp = HG1.add(temp, HG1.mul(wj, int(point[j]) % p))
-                total_w[j] = HG1.add(total_w[j], HG1.mul(wj, randomizer))
+                temp = hg1.add(temp, hg1.mul(wj, int(point[j]) % p))
+                total_w[j] = hg1.add(total_w[j], hg1.mul(wj, randomizer))
             g_mult = (g_mult + randomizer * combined_value) % p
             if proof.random_v is not None:
                 gg_mult = (gg_mult + randomizer * proof.random_v) % p
-            total_c = HG1.add(total_c, HG1.mul(temp, randomizer))
+            total_c = hg1.add(total_c, hg1.mul(temp, randomizer))
             randomizer = rng.u128()
-        total_c = HG1.sub(total_c, HG1.mul(hostec.triple_to_host(vk.g), g_mult))
-        total_c = HG1.sub(
-            total_c, HG1.mul(hostec.triple_to_host(vk.gamma_g), gg_mult)
+        total_c = hg1.sub(total_c, hg1.mul(hostec.triple_to_host(vk.g), g_mult))
+        total_c = hg1.sub(
+            total_c, hg1.mul(hostec.triple_to_host(vk.gamma_g), gg_mult)
         )
         g1s = []
         g2s = []
         for j in range(vk.num_vars):
-            g1s.append(hostec.host_to_triple(HG1.neg(total_w[j])))
+            g1s.append(hostec.host_to_triple(hg1.neg(total_w[j])))
             g2s.append(vk.beta_h[j])
         g1s.append(hostec.host_to_triple(total_c))
         g2s.append(vk.h)
-        return pairing_product_is_one_host(g1s, g2s)
+        return cls.CTX.pairing_product_is_one(g1s, g2s)
+
+
+class MarlinPST13_BLS12_377(MarlinPST13):
+    """BLS12-377 instantiation (the reference's second test curve)."""
+
+    CTX = CTX_BLS12_377
+    spec = CTX_BLS12_377.spec

@@ -34,13 +34,16 @@ from ..core.serialize import device_points_to_ints
 from . import errors, kzg10
 from .data_structures import (
     HostRng,
+    derive_batch_rng,
     LabeledCommitment,
     LabeledPolynomial,
     PolynomialCommitment,
     _group_queries,
     _pt_key,
 )
+from .curve_ctx import CTX_BLS12_377, CTX_BLS12_381
 from .marlin_pc import _add_rand, _check_degrees_and_bounds, _scale_poly
+from ..utils.trace import traced
 
 SPEC = FR_BLS12_381
 HG1 = hostec.host_group(BLS12_381_G1)
@@ -100,23 +103,28 @@ class VerifierKey:
         return None
 
 
-def _g2_host_triples(pp_g2_batch, indices):
+def _g2_host_triples(pp_g2_batch, indices, g2=BLS12_381_G2):
     """Device G2 affine batch -> host triples at given indices."""
     x, y, inf = pp_g2_batch
-    pts = device_points_to_ints(
-        BLS12_381_G2, BLS12_381_G2.from_affine(x, y, inf)
-    )
+    pts = device_points_to_ints(g2, g2.from_affine(x, y, inf))
     return [pts[i] for i in indices]
 
 
 class SonicKZG10(PolynomialCommitment):
+    """BLS12-381 instantiation; SonicKZG10_BLS12_377 overrides CTX (the
+    reference's two-curve test matrix, sonic_pc/mod.rs tests)."""
+
+    CTX = CTX_BLS12_381
     spec = SPEC
 
     @classmethod
+    @traced("SonicKZG10::setup")
     def setup(cls, max_degree, num_vars=None, rng=None):
-        return kzg10.setup(max_degree, produce_g2_powers=True, rng=rng)
+        return kzg10.setup(max_degree, produce_g2_powers=True, rng=rng,
+                           ctx=cls.CTX)
 
     @classmethod
+    @traced("SonicKZG10::trim")
     def trim(cls, pp, supported_degree, supported_hiding_bound=0,
              enforced_degree_bounds=None):
         if supported_degree > pp.max_degree:
@@ -141,7 +149,8 @@ class SonicKZG10(PolynomialCommitment):
                 end = min(shift + supported_hiding_bound + 2, max_degree + 2)
                 shifted_gamma[b] = take(pp.powers_of_gamma_g, slice(shift, end))
             neg_pts = _g2_host_triples(
-                pp.neg_powers_of_h, [max_degree - b for b in bounds]
+                pp.neg_powers_of_h, [max_degree - b for b in bounds],
+                g2=cls.CTX.g2,
             )
             bounds_and_neg_h = list(zip(bounds, neg_pts))
 
@@ -157,17 +166,18 @@ class SonicKZG10(PolynomialCommitment):
         )
         kvk = kzg10.vk_from_params(pp)
 
+        g1d, g2d = cls.CTX.g1, cls.CTX.g2
+
         def host1(t):
             from ..core.serialize import device_point_to_ints
 
             x, y, inf = t
-            return device_point_to_ints(BLS12_381_G1, BLS12_381_G1.from_affine(x, y, inf))
+            return device_point_to_ints(g1d, g1d.from_affine(x, y, inf))
 
         def host2(t):
             x, y, inf = t
             return device_points_to_ints(
-                BLS12_381_G2,
-                BLS12_381_G2.from_affine(x[None], y[None], inf[None]),
+                g2d, g2d.from_affine(x[None], y[None], inf[None])
             )[0]
 
         vk = VerifierKey(
@@ -182,6 +192,7 @@ class SonicKZG10(PolynomialCommitment):
         return ck, vk
 
     @classmethod
+    @traced("SonicKZG10::commit")
     def commit(cls, ck, polynomials, rng=None):
         comms, states = [], []
         for lp in polynomials:
@@ -192,15 +203,18 @@ class SonicKZG10(PolynomialCommitment):
                 powers = ck.shifted_powers(lp.degree_bound)
             else:
                 powers = ck.powers()
-            c, r = kzg10.commit(powers, lp.poly, lp.hiding_bound, rng)
+            c, r = kzg10.commit(powers, lp.poly, lp.hiding_bound, rng,
+                                ctx=cls.CTX)
             comms.append(LabeledCommitment(lp.label, c, lp.degree_bound))
             states.append(r)
         return comms, states
 
     @classmethod
+    @traced("SonicKZG10::open")
     def open(cls, ck, polynomials, commitments, point, sponge, states, rng=None):
         """mod.rs:341-384: one combined poly opened with plain powers."""
-        z_int = int(point) % SPEC.modulus
+        spec = cls.CTX.spec
+        z_int = int(point) % spec.modulus
         p_comb = None
         r_comb = None
         for lp, st in zip(polynomials, states):
@@ -208,38 +222,41 @@ class SonicKZG10(PolynomialCommitment):
                 ck.supported_degree, ck.max_degree, ck.enforced_degree_bounds, lp
             )
             c_j = sponge.squeeze_challenge_128()
-            scaled = _scale_poly(lp.poly, c_j)
-            p_comb = scaled if p_comb is None else P.add(SPEC, p_comb, scaled)
-            r_comb = _add_rand(r_comb, st.blinding_polynomial, c_j)
-        return kzg10.open(ck.powers(), p_comb, z_int, kzg10.Randomness(r_comb))
+            scaled = _scale_poly(lp.poly, c_j, spec)
+            p_comb = scaled if p_comb is None else P.add(spec, p_comb, scaled)
+            r_comb = _add_rand(r_comb, st.blinding_polynomial, c_j, spec)
+        return kzg10.open(ck.powers(), p_comb, z_int, kzg10.Randomness(r_comb),
+                          ctx=cls.CTX)
 
     # -- verifier accumulation (mod.rs:39-133) ---------------------------
     @classmethod
     def _accumulate_elems(cls, acc, vk, commitments, point, values, proof,
                           sponge, randomizer):
-        z = int(point) % SPEC.modulus
+        hg1 = cls.CTX.hg1
+        spec = cls.CTX.spec
+        z = int(point) % spec.modulus
         combined_values = 0
         for lc, v in zip(commitments, values):
             challenge = sponge.squeeze_challenge_128()
-            combined_values = (combined_values + int(v) * challenge) % SPEC.modulus
+            combined_values = (combined_values + int(v) * challenge) % spec.modulus
             mult = challenge if randomizer is None else challenge * randomizer
             cm = hostec.triple_to_host(lc.commitment.point)
-            acc["comms"][lc.degree_bound] = HG1.add(
-                acc["comms"].get(lc.degree_bound), HG1.mul(cm, mult)
+            acc["comms"][lc.degree_bound] = hg1.add(
+                acc["comms"].get(lc.degree_bound), hg1.mul(cm, mult)
             )
         w = hostec.triple_to_host(proof.w)
-        adjusted = HG1.sub(
-            HG1.mul(hostec.triple_to_host(vk.g), combined_values), HG1.mul(w, z)
+        adjusted = hg1.sub(
+            hg1.mul(hostec.triple_to_host(vk.g), combined_values), hg1.mul(w, z)
         )
         if proof.random_v is not None:
-            adjusted = HG1.add(
-                adjusted, HG1.mul(hostec.triple_to_host(vk.gamma_g), proof.random_v)
+            adjusted = hg1.add(
+                adjusted, hg1.mul(hostec.triple_to_host(vk.gamma_g), proof.random_v)
             )
         if randomizer is not None:
-            w = HG1.mul(w, randomizer)
-            adjusted = HG1.mul(adjusted, randomizer)
-        acc["witness"] = HG1.add(acc["witness"], w)
-        acc["adjusted"] = HG1.add(acc["adjusted"], adjusted)
+            w = hg1.mul(w, randomizer)
+            adjusted = hg1.mul(adjusted, randomizer)
+        acc["witness"] = hg1.add(acc["witness"], w)
+        acc["adjusted"] = hg1.add(acc["adjusted"], adjusted)
 
     @classmethod
     def _check_elems(cls, acc, vk) -> bool:
@@ -250,25 +267,32 @@ class SonicKZG10(PolynomialCommitment):
                 raise errors.UnsupportedDegreeBound(bound)
             g1s.append(hostec.host_to_triple(acc["comms"][bound]))
             g2s.append(shift_power)
-        g1s.append(hostec.host_to_triple(HG1.neg(acc["adjusted"])))
+        hg1 = cls.CTX.hg1
+        g1s.append(hostec.host_to_triple(hg1.neg(acc["adjusted"])))
         g2s.append(vk.h)
-        g1s.append(hostec.host_to_triple(HG1.neg(acc["witness"])))
+        g1s.append(hostec.host_to_triple(hg1.neg(acc["witness"])))
         g2s.append(vk.beta_h)
-        return kzg10.pairing_product_is_one_host(g1s, g2s)
+        return cls.CTX.pairing_product_is_one(g1s, g2s)
 
     @classmethod
+    @traced("SonicKZG10::check")
     def check(cls, vk, commitments, point, values, proof, sponge):
         acc = {"comms": {}, "witness": None, "adjusted": None}
         cls._accumulate_elems(acc, vk, commitments, point, values, proof, sponge, None)
         return cls._check_elems(acc, vk)
 
     @classmethod
+    @traced("SonicKZG10::batch_check")
     def batch_check(cls, vk, commitments, query_set, evaluations, proofs,
                     sponge, rng=None):
         comms = {c.label: c for c in commitments}
         grouped = _group_queries(query_set)
         assert len(grouped) == len(proofs)
-        rng = rng or HostRng(0x50BC)
+        rng = rng or derive_batch_rng(
+            sponge, [c.label for c in commitments],
+            [lc.commitment for lc in commitments], grouped,
+            {str(k): int(v) for k, v in evaluations.items()}, proofs,
+        )
         acc = {"comms": {}, "witness": None, "adjusted": None}
         randomizer = 1
         for ((point_label, point), labels), proof in zip(grouped, proofs):
@@ -280,7 +304,7 @@ class SonicKZG10(PolynomialCommitment):
                 if key not in evaluations:
                     raise errors.MissingEvaluation(str(key))
                 cs.append(comms[label])
-                vs.append(int(evaluations[key]) % SPEC.modulus)
+                vs.append(int(evaluations[key]) % cls.CTX.spec.modulus)
             cls._accumulate_elems(
                 acc, vk, cs, point, vs, proof, sponge, randomizer
             )
@@ -291,6 +315,8 @@ class SonicKZG10(PolynomialCommitment):
     @classmethod
     def open_combinations(cls, ck, linear_combinations, polynomials, commitments,
                           eqn_query_set, sponge, states, rng=None):
+        spec = cls.CTX.spec
+        hg1 = cls.CTX.hg1
         label_map = {
             p.label: (p, s, c) for p, s, c in zip(polynomials, states, commitments)
         }
@@ -309,19 +335,19 @@ class SonicKZG10(PolynomialCommitment):
                     raise errors.MissingPolynomial(term)
                 cp, cs, cc = label_map[term]
                 if num == 1 and cp.degree_bound is not None:
-                    assert coeff % SPEC.modulus == 1
+                    assert coeff % spec.modulus == 1
                     degree_bound = cp.degree_bound
                 elif cp.degree_bound is not None:
                     raise errors.EquationHasDegreeBounds(lc.label)
                 hiding_bound = max(hiding_bound or 0, cp.hiding_bound or 0) or None
-                scaled = _scale_poly(cp.poly, coeff)
-                poly = scaled if poly is None else P.add(SPEC, poly, scaled)
-                rand_acc = _add_rand(rand_acc, cs.blinding_polynomial, coeff)
-                comb = HG1.add(
-                    comb, HG1.mul(hostec.triple_to_host(cc.commitment.point), coeff)
+                scaled = _scale_poly(cp.poly, coeff, spec)
+                poly = scaled if poly is None else P.add(spec, poly, scaled)
+                rand_acc = _add_rand(rand_acc, cs.blinding_polynomial, coeff, spec)
+                comb = hg1.add(
+                    comb, hg1.mul(hostec.triple_to_host(cc.commitment.point), coeff)
                 )
             if poly is None:
-                poly = F.zeros(SPEC, (1,))
+                poly = F.zeros(spec, (1,))
             lc_polys.append(LabeledPolynomial(lc.label, poly, degree_bound, hiding_bound))
             lc_states.append(kzg10.Randomness(rand_acc))
             lc_comms.append(
@@ -340,8 +366,10 @@ class SonicKZG10(PolynomialCommitment):
     def check_combinations(cls, vk, linear_combinations, commitments, eqn_query_set,
                            eqn_evaluations, proof_and_evals, sponge):
         proofs, _ = proof_and_evals
+        spec = cls.CTX.spec
+        hg1 = cls.CTX.hg1
         comm_map = {c.label: c for c in commitments}
-        evals = {k: int(v) % SPEC.modulus for k, v in eqn_evaluations.items()}
+        evals = {k: int(v) % spec.modulus for k, v in eqn_evaluations.items()}
         lc_comms = []
         for lc in linear_combinations:
             degree_bound = None
@@ -351,19 +379,19 @@ class SonicKZG10(PolynomialCommitment):
                 if term == "one":
                     for key in list(evals):
                         if key[0] == lc.label:
-                            evals[key] = (evals[key] - coeff) % SPEC.modulus
+                            evals[key] = (evals[key] - coeff) % spec.modulus
                 else:
                     if term not in comm_map:
                         raise errors.MissingPolynomial(term)
                     cc = comm_map[term]
                     if num == 1 and cc.degree_bound is not None:
-                        assert coeff % SPEC.modulus == 1
+                        assert coeff % spec.modulus == 1
                         degree_bound = cc.degree_bound
                     elif cc.degree_bound is not None:
                         raise errors.EquationHasDegreeBounds(lc.label)
-                    comb = HG1.add(
+                    comb = hg1.add(
                         comb,
-                        HG1.mul(hostec.triple_to_host(cc.commitment.point), coeff),
+                        hg1.mul(hostec.triple_to_host(cc.commitment.point), coeff),
                     )
             lc_comms.append(
                 LabeledCommitment(
@@ -373,3 +401,10 @@ class SonicKZG10(PolynomialCommitment):
                 )
             )
         return cls.batch_check(vk, lc_comms, eqn_query_set, evals, proofs, sponge)
+
+
+class SonicKZG10_BLS12_377(SonicKZG10):
+    """BLS12-377 instantiation (the reference's second test curve)."""
+
+    CTX = CTX_BLS12_377
+    spec = CTX_BLS12_377.spec

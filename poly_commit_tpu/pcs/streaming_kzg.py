@@ -22,8 +22,11 @@ from the reference's time/space consistency tests, streaming_kzg/tests.rs).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import curve as C
 from ..core import field as F
@@ -36,6 +39,7 @@ from ..core.serialize import device_point_to_ints, device_points_to_ints
 from . import errors
 from .data_structures import HostRng
 from .kzg10 import pairing_product_is_one_host
+from ..utils.trace import traced
 
 G1 = BLS12_381_G1
 G2 = BLS12_381_G2
@@ -100,6 +104,7 @@ class CommitterKey:
         )
 
     # -- commitments -----------------------------------------------------
+    @traced("StreamingKZG::commit")
     def commit(self, coeffs: jnp.ndarray) -> Commitment:
         """coeffs (D+1, L) Montgomery (time.rs:72-74)."""
         c = _pad(coeffs, int(self.powers_of_g[0].shape[0]))
@@ -122,6 +127,7 @@ class CommitterKey:
         return Commitment(device_point_to_ints(G1, acc))
 
     # -- openings ----------------------------------------------------------
+    @traced("StreamingKZG::open")
     def open(self, coeffs: jnp.ndarray, point: int):
         """Ruffini division scan (time.rs:104-123). Returns (eval, proof)."""
         z = F.from_ints(SPEC, int(point) % SPEC.modulus)
@@ -138,6 +144,7 @@ class CommitterKey:
             )
         return evaluation, EvaluationProof(device_point_to_ints(G1, w))
 
+    @traced("StreamingKZG::open_multi_points")
     def open_multi_points(self, coeffs: jnp.ndarray, eval_points) -> EvaluationProof:
         """Divide by the vanishing polynomial (time.rs:126-137)."""
         pts = F.from_ints(SPEC, [int(z) % SPEC.modulus for z in eval_points])
@@ -154,6 +161,144 @@ class CommitterKey:
             scaled = P.scale(SPEC, p, F.from_ints(SPEC, eta))
             comb = scaled if comb is None else P.add(SPEC, comb, scaled)
         return self.open_multi_points(comb, eval_points)
+
+    # -- bounded-memory (space) opens ------------------------------------
+    # TPU re-interpretation of streaming_kzg/space.rs:65-136: the reference
+    # walks reversed coefficient streams one scalar at a time with a
+    # ChunkedPippenger buffer; here the stream becomes fixed-size device
+    # chunks processed high->low, the per-element recurrences become ONE
+    # lax.scan per chunk, and the carried state is O(m) field elements +
+    # one projective accumulator. Results are group-identical to the time
+    # prover (the reference's time/space consistency contract, tests.rs:40-83).
+
+    def open_chunked(self, coeffs: jnp.ndarray, point: int, chunk: int):
+        """Bounded-memory single-point open (space.rs:65-95).
+
+        Processes (D+1) coefficients in chunks from the highest degree down;
+        each chunk's Ruffini segment is the chunk polynomial plus the carried
+        accumulator as its top coefficient. Returns (evaluation, proof)."""
+        z = F.from_ints(SPEC, int(point) % SPEC.modulus)
+        n = coeffs.shape[0]
+        acc = G1.infinity(())
+        carry = jnp.zeros((1, SPEC.n_limbs), jnp.uint32)
+        for s in reversed(range(0, n, chunk)):
+            e = min(s + chunk, n)
+            arr = jnp.concatenate([coeffs[s:e], carry], axis=0)
+            w, rem = P.divide_by_linear(SPEC, arr, z)
+            carry = rem[None]
+            # w[k] is the global quotient coefficient q_{s+k} (the top
+            # chunk's final w is the zero carry slot - pairs with key[n-1])
+            key = tuple(a[s:e] for a in self.powers_of_g)
+            acc = G1.add(acc, M.msm_mont(G1, w, key, assume_distinct=True))
+        evaluation = int(F.to_ints(SPEC, carry[0]))
+        return evaluation, EvaluationProof(device_point_to_ints(G1, acc))
+
+    def open_multi_points_chunked(self, coeffs: jnp.ndarray, eval_points,
+                                  chunk: int):
+        """Bounded-memory multi-point open (space.rs:98-136): long division
+        by the vanishing polynomial with an m-deep carried remainder window
+        (the VecDeque state). Returns (remainder (m, L) ascending, proof);
+        the proof equals the time prover's ``open_multi_points``."""
+        p_mod = SPEC.modulus
+        pts = F.from_ints(SPEC, [int(v) % p_mod for v in eval_points])
+        m = pts.shape[0]
+        n = coeffs.shape[0]
+        assert n > m, "polynomial must outdegree the vanishing polynomial"
+        zpoly = P.vanishing_poly(SPEC, pts)  # (m+1, L), monic
+        zrev = jnp.flip(zpoly[:m], axis=0)  # low coeffs, descending degree
+        delta = jnp.zeros((m, SPEC.n_limbs), jnp.uint32)
+        acc = G1.infinity(())
+        rem_desc = []  # adjusted coefficients at degrees m-1..0
+        for s in reversed(range(0, n, chunk)):
+            e = min(s + chunk, n)
+            seg_desc = jnp.flip(coeffs[s:e], axis=0)
+            degs = np.arange(e - 1, s - 1, -1)
+            emit = jnp.asarray(degs >= m)
+            delta, q_desc, cur_desc = _stream_long_div_chunk(
+                SPEC, zrev, delta, seg_desc, emit
+            )
+            lo, hi = max(0, s - m), max(0, e - m)
+            if hi > lo:
+                q_asc = jnp.flip(q_desc, axis=0)  # degrees s-m .. e-1-m
+                off = lo - (s - m)
+                key = tuple(a[lo:hi] for a in self.powers_of_g)
+                acc = G1.add(
+                    acc,
+                    M.msm_mont(G1, q_asc[off : off + (hi - lo)], key,
+                               assume_distinct=True),
+                )
+            take = (degs < m).nonzero()[0]
+            if take.size:
+                rem_desc.append(cur_desc[take.min() : take.max() + 1])
+        remainder = jnp.flip(jnp.concatenate(rem_desc, axis=0), axis=0)
+        return remainder, EvaluationProof(device_point_to_ints(G1, acc))
+
+    def open_folding_chunked(self, coeffs: jnp.ndarray, challenges,
+                             eval_points, etas, chunk: int):
+        """Bounded-memory fold-and-open (space.rs:209-262): one pass over the
+        coefficient chunks computes every folded polynomial f^(j) locally
+        (chunk boundaries are multiples of 2^depth, so each level's piece is
+        contiguous), runs the per-level vanishing-poly division with carried
+        windows, and accumulates ONE eta-combined proof.
+
+        Returns ([remainder_j (m, L)], proof) with remainder_j = f^(j) mod Z
+        (so f^(j)'s claimed evaluations come from evaluating remainder_j)."""
+        p_mod = SPEC.modulus
+        depth = len(challenges)
+        assert chunk % (1 << depth) == 0 and chunk >= (1 << depth)
+        pts = F.from_ints(SPEC, [int(v) % p_mod for v in eval_points])
+        m = pts.shape[0]
+        n = coeffs.shape[0]
+        assert n % (1 << depth) == 0
+        zpoly = P.vanishing_poly(SPEC, pts)
+        zrev = jnp.flip(zpoly[:m], axis=0)
+        rhos = [F.from_ints(SPEC, int(r) % p_mod) for r in challenges]
+        eta_f = [F.from_ints(SPEC, int(t) % p_mod) for t in etas]
+        deltas = [jnp.zeros((m, SPEC.n_limbs), jnp.uint32) for _ in range(depth)]
+        rem_desc = [[] for _ in range(depth)]
+        acc = G1.infinity(())
+        for s in reversed(range(0, n, chunk)):
+            e = min(s + chunk, n)
+            seg = coeffs[s:e]
+            for j in range(1, depth + 1):
+                # local fold: f^(j) piece over degrees [s/2^j, e/2^j)
+                half = seg.reshape(-1, 2, SPEC.n_limbs)
+                seg = F.add(
+                    SPEC,
+                    half[:, 0],
+                    F.mont_mul(
+                        SPEC, half[:, 1],
+                        jnp.broadcast_to(rhos[j - 1], half[:, 1].shape),
+                    ),
+                )
+                lvl_n = n >> j
+                assert lvl_n > m, "folded polynomial shorter than Z"
+                ls, le = s >> j, e >> j
+                seg_desc = jnp.flip(seg, axis=0)
+                degs = np.arange(le - 1, ls - 1, -1)
+                emit = jnp.asarray(degs >= m)
+                deltas[j - 1], q_desc, cur_desc = _stream_long_div_chunk(
+                    SPEC, zrev, deltas[j - 1], seg_desc, emit
+                )
+                lo, hi = max(0, ls - m), max(0, le - m)
+                if hi > lo:
+                    q_asc = jnp.flip(q_desc, axis=0)
+                    off = lo - (ls - m)
+                    qs = q_asc[off : off + (hi - lo)]
+                    qs = F.mont_mul(
+                        SPEC, qs, jnp.broadcast_to(eta_f[j - 1], qs.shape)
+                    )
+                    key = tuple(a[lo:hi] for a in self.powers_of_g)
+                    acc = G1.add(
+                        acc, M.msm_mont(G1, qs, key, assume_distinct=True)
+                    )
+                take = (degs < m).nonzero()[0]
+                if take.size:
+                    rem_desc[j - 1].append(cur_desc[take.min() : take.max() + 1])
+        remainders = [
+            jnp.flip(jnp.concatenate(r, axis=0), axis=0) for r in rem_desc
+        ]
+        return remainders, EvaluationProof(device_point_to_ints(G1, acc))
 
     # -- Gemini folded tree (data_structures.rs:12-138, space.rs:165-262) --
     def fold_polynomials(self, coeffs: jnp.ndarray, challenges) -> list:
@@ -176,6 +321,38 @@ class CommitterKey:
     def commit_folding(self, coeffs: jnp.ndarray, challenges) -> list:
         """Commitments to every folded polynomial (space.rs:165-207)."""
         return [self.commit(f) for f in self.fold_polynomials(coeffs, challenges)]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _stream_long_div_chunk(spec, zrev, delta, seg_desc, emit):
+    """One chunk of streaming long division by a monic divisor Z (degree m).
+
+    The reference's per-coefficient VecDeque loop (space.rs:115-133) as one
+    lax.scan. seg_desc: (C, L) original coefficients, DESCENDING degree.
+    delta: (m, L) carried adjustments, delta[k] applying to the coefficient
+    arriving k steps from now. emit: (C,) bool, True while the current
+    degree >= m (a quotient coefficient is produced and Z is subtracted).
+
+    Returns (delta', q_desc, cur_desc): q_desc[k] is the quotient coefficient
+    of degree (deg_k - m) when emit[k] (else 0); cur_desc[k] is the adjusted
+    coefficient (the remainder coefficient once deg_k < m).
+    """
+
+    def body(delta, inp):
+        c_in, em = inp
+        cur = F.add(spec, c_in, delta[0])
+        shifted = jnp.concatenate(
+            [delta[1:], jnp.zeros((1, spec.n_limbs), jnp.uint32)], axis=0
+        )
+        subbed = F.sub(
+            spec, shifted, F.mont_mul(spec, zrev, jnp.broadcast_to(cur, zrev.shape))
+        )
+        delta = jnp.where(em, subbed, shifted)
+        q = jnp.where(em, cur, jnp.zeros_like(cur))
+        return delta, (q, cur)
+
+    delta, (qs, curs) = jax.lax.scan(body, delta, (seg_desc, emit))
+    return delta, qs, curs
 
 
 def _pad(coeffs: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -11,6 +11,7 @@ so device traces carry the same labels under `jax.profiler`.
 from __future__ import annotations
 
 import contextlib
+import functools
 import os
 import sys
 import time
@@ -49,3 +50,21 @@ def scope(label: str):
         _DEPTH -= 1
         dt = time.perf_counter() - t0
         print(f"{indent}End: {label} {dt*1e3:.3f}ms", file=sys.stderr)
+
+
+def traced(label: str):
+    """Decorator form of :func:`scope` for whole phases — the analogue of
+    the reference's per-function start_timer!/end_timer! pairs. Place under
+    @classmethod: ``@classmethod`` / ``@traced("X::commit")`` / ``def …``."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            if not enabled():
+                return fn(*args, **kwargs)
+            with scope(label):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco

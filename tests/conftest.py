@@ -28,6 +28,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long host-side checks (full final-exp powers etc.)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)

@@ -165,3 +165,46 @@ def test_fast_fixed_base_matches_reference(rng):
     ]
     exp = [REF.mul(GEN, s) for s in scal]
     assert got == exp
+
+
+def test_fast_fixed_base_host_path(rng, monkeypatch):
+    """_fixed_base_host (the fast-path CPU fallback) directly: with
+    POLY_COMMIT_FAST_MSM=1 on the CPU backend, fixed_base_mul dispatches to
+    the host windowed mul rather than the portable scan."""
+    from poly_commit_tpu.core import curve as C
+    from poly_commit_tpu.core import field as F
+    from poly_commit_tpu.core import msm as M
+
+    monkeypatch.setenv("POLY_COMMIT_FAST_MSM", "1")
+    G1 = C.BLS12_381_G1
+    scal = [0, 1, 257, int.from_bytes(rng.bytes(40), "little") % FP.BLS12_381_R]
+    n = len(scal)
+    sc = np.zeros((n, 16), np.uint32)
+    for i, v in enumerate(scal):
+        for j in range(16):
+            sc[i, j] = (v >> (16 * j)) & 0xFFFF
+    x, y, inf = G1.to_affine(M.fixed_base_mul(G1, G1.generator(), jnp.asarray(sc)))
+    got = [
+        None if bool(i_) else (xv, yv)
+        for xv, yv, i_ in zip(F.to_ints(SPEC, x), F.to_ints(SPEC, y), np.asarray(inf))
+    ]
+    assert got == [REF.mul(GEN, s) for s in scal]
+
+
+def test_fast_fixed_base_device_kernel(rng):
+    """msm_tpu.fixed_base called directly (its CPU-eager branch mirrors the
+    TPU table path) vs reference double-and-add — covers the windowed-table
+    implementation that TPU runs."""
+    from poly_commit_tpu.core import msm_tpu
+
+    scal = [0, 1, 255, 256, int.from_bytes(rng.bytes(40), "little") % FP.BLS12_381_R]
+    n = len(scal)
+    sc = np.zeros((n, 16), np.uint32)
+    for i, v in enumerate(scal):
+        for j in range(16):
+            sc[i, j] = (v >> (16 * j)) & 0xFFFF
+    gx = ff.from_ints(SPEC, [GEN[0]])
+    gy = ff.from_ints(SPEC, [GEN[1]])
+    out = msm_tpu.fixed_base(SPEC, gx, gy, jnp.asarray(sc))
+    got = _to_host(out)
+    assert got == [REF.mul(GEN, s) for s in scal]

@@ -97,6 +97,30 @@ def test_brakedown_recursive_end_to_end():
     assert PC.batch_check(vk, comms, qs, values, proofs, sponge2)
 
 
+def test_brakedown_degenerate_mats():
+    """make_mat must accept zero-column / zero-nnz matrices: the dims
+    recursion emits them for small base_len (e.g. nv=6/base_len=4 yields a
+    (4, 0, 0) B level; the reference's SprsMat accepts these,
+    brakedown.rs:260-333 + utils.rs:24-107)."""
+    import numpy as np
+
+    from poly_commit_tpu.core.field_params import FR_BLS12_381 as spec
+    from poly_commit_tpu.core import field as Fld
+    from poly_commit_tpu.pcs.linear_codes.brakedown import make_mat
+
+    rng = HostRng(7)
+    # zero columns: row_mul maps (n, L) -> (0, L)
+    m0 = make_mat(spec, 4, 0, 0, rng)
+    v = rng.field_elems(spec, 4)
+    out = m0.row_mul(spec, v)
+    assert out.shape == (0, spec.n_limbs)
+    # zero nnz per row: output is all zeros of width m
+    mz = make_mat(spec, 4, 3, 0, rng)
+    out = mz.row_mul(spec, rng.field_elems(spec, 4))
+    assert out.shape == (3, spec.n_limbs)
+    assert np.all(np.asarray(Fld.to_ints(spec, out)) == 0)
+
+
 def test_merkle_path_tamper_detected():
     from poly_commit_tpu.utils.merkle import MerkleTree, verify_path
 

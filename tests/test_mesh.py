@@ -51,6 +51,47 @@ def test_msm_sharded_with_padding(rng):
     assert bool(np.asarray(G1.eq(single, sharded)))
 
 
+def test_msm_sharded_fast_path(rng, monkeypatch):
+    """The limbs-first fast kernel (core/msm_tpu) under shard_map — the
+    actual TPU multi-chip hot path. POLY_COMMIT_FAST_MSM=1 forces its
+    pure-JAX fallback on the CPU mesh; the traced branch exercises
+    _fold_device/_combine_sw_device exactly as on hardware."""
+    monkeypatch.setenv("POLY_COMMIT_FAST_MSM", "1")
+    n = 16
+    mesh = PM.make_mesh(4)
+    pts = _points(n, rng)
+    sc_ints = [int(x) for x in rng.integers(0, 1 << 62, size=n)]
+    sc = M.scalars_from_ints(G1.scalar_spec, sc_ints)
+    single = M.msm(G1, sc, pts, 4, 4)
+    sharded = PM.msm_sharded(G1, PM.shard_batch(sc, mesh),
+                             tuple(PM.shard_batch(a, mesh) for a in pts),
+                             mesh)  # c/lanes None -> fast-path dispatch
+    assert bool(np.asarray(G1.eq(single, sharded)))
+
+
+def test_kzg_commit_under_mesh_bit_identical(rng):
+    """kzg10.commit/open route their SRS MSMs through msm_sharded inside a
+    use_mesh context; commitments and proofs must equal single-chip."""
+    from poly_commit_tpu.core.field_params import FR_BLS12_381
+    from poly_commit_tpu.pcs import kzg10
+    from poly_commit_tpu.pcs.data_structures import HostRng
+
+    spec = FR_BLS12_381
+    hr = HostRng(21)
+    pp = kzg10.setup(8, rng=hr)
+    powers = kzg10.trim_powers(pp, 8)
+    coeffs = F.from_ints(spec, hr.field_ints(spec, 9))
+    z = hr.field_int(spec)
+    c0, r0 = kzg10.commit(powers, coeffs, hiding_bound=2, rng=HostRng(5))
+    p0 = kzg10.open(powers, coeffs, z, r0)
+    mesh = PM.make_mesh(4)
+    with PM.use_mesh(mesh):
+        c1, r1 = kzg10.commit(powers, coeffs, hiding_bound=2, rng=HostRng(5))
+        p1 = kzg10.open(powers, coeffs, z, r1)
+    assert c0.point == c1.point
+    assert p0.w == p1.w and p0.random_v == p1.random_v
+
+
 def test_ntt_sharded_matches_single(rng):
     spec = FP.FR_BLS12_381
     mesh = PM.make_mesh(8)

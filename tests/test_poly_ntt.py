@@ -144,3 +144,21 @@ def test_powers(rng):
     x = rand_ints(rng, p, 1)[0]
     pw = P.powers(S, F.from_ints(S, x), 11)
     assert F.to_ints(S, pw) == [pow(x, i, p) for i in range(11)]
+
+
+def test_ntt_limbs_first_matches_portable(rng):
+    """core/ntt_lf (fused limbs-first tier) == core/ntt on random inputs,
+    forward and inverse."""
+    from poly_commit_tpu.core import ff, ntt as NTT, ntt_lf
+
+    p = S.modulus
+    for log_n in (4, 7):
+        n = 1 << log_n
+        ints = rand_ints(rng, p, n)
+        a_last = F.from_ints(S, ints)          # (n, L)
+        a_first = ff.from_ints(S, ints)        # (L, n)
+        exp = F.to_ints(S, NTT.ntt(S, a_last))
+        got = ff.to_ints(S, ntt_lf.ntt(S, a_first))
+        assert got == exp
+        back = ff.to_ints(S, ntt_lf.intt(S, ntt_lf.ntt(S, a_first)))
+        assert back == [v % p for v in ints]
