@@ -34,14 +34,9 @@ sys.path.insert(0, "/root/repo")
 def _setup_jax():
     import jax
 
-    cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
-    path = "/root/repo/.jax_cache_cpu" if cpu else "/root/repo/.jax_cache"
-    try:
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    from poly_commit_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     return jax
 
 

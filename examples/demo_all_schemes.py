@@ -19,13 +19,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# CPU cache dir — NEVER the TPU (.jax_cache) one: axon persists CPU-AOT
-# entries for the remote host's microarchitecture which SIGILL locally.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, "/root/repo")
+
+# machine-keyed CPU cache dir; see poly_commit_tpu/utils/cache.py
+from poly_commit_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(cpu=True)
 
 from poly_commit_tpu.core import field as F  # noqa: E402
 from poly_commit_tpu.core.transcript import PoseidonSponge  # noqa: E402

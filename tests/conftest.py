@@ -16,13 +16,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # EC-heavy graphs (MSM/pairing scans) compile slowly on XLA:CPU; cache them.
-# NOTE: the CPU cache dir is SEPARATE from the TPU one (.jax_cache): axon
-# (remote-TPU) runs compile on the server machine and persist CPU-AOT
-# executables for the *server's* microarchitecture — loading those in a
-# local CPU process SIGILL/segfaults. Never share the two dirs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# The cache dir is machine-keyed and separate from the TPU one — see
+# poly_commit_tpu/utils/cache.py for the two failure modes that forces.
+import sys  # noqa: E402
+
+sys.path.insert(0, "/root/repo")
+from poly_commit_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(cpu=True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
