@@ -265,8 +265,16 @@ def _pt_key(point):
 
 
 def _qs_key(entry):
-    label, (point_label, _) = entry
-    return (label, point_label)
+    """Total order over query-set entries: (label, point_label, point).
+
+    The point VALUE participates so two distinct points sharing a label
+    cannot tie — the sponge replay order must be deterministic across
+    processes, like the reference's BTreeMap keyed on the full
+    (label, point) pair (lib.rs:152). repr() gives a stable string for
+    both int (univariate) and tuple (multivariate) points.
+    """
+    label, (point_label, point) = entry
+    return (label, point_label, repr(_pt_key(point)))
 
 
 # ---------------------------------------------------------------------------
