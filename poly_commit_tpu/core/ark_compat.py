@@ -108,6 +108,8 @@ class StdRng:
     """rand 0.8 StdRng (= ChaCha12Rng) keystream emulation: next_u32 pulls
     consecutive LE words; next_u64 = lo | hi << 32."""
 
+    ROUNDS = 12
+
     def __init__(self, seed: bytes = ARK_STD_TEST_SEED):
         assert len(seed) == 32
         self._key = np.frombuffer(seed, "<u4").astype(np.uint64)
@@ -120,7 +122,7 @@ class StdRng:
         return cls(seed_from_u64(seed))
 
     def _refill(self):
-        self._buf = _chacha_block(self._key, self._counter, 0, 12)
+        self._buf = _chacha_block(self._key, self._counter, 0, self.ROUNDS)
         self._counter += 1
         self._pos = 0
 
@@ -135,6 +137,30 @@ class StdRng:
         lo = self.next_u32()
         hi = self.next_u32()
         return lo | (hi << 32)
+
+    def next_bool(self) -> bool:
+        """rand 0.8 Standard Distribution<bool>: the next_u32 sign bit."""
+        return (self.next_u32() >> 31) == 1
+
+    def fill_bytes(self, n: int) -> bytes:
+        """rand_core BlockRng::fill_bytes — whole-word consumption (exact
+        for the 32-byte SeedableRng::from_rng reads used here)."""
+        assert n % 4 == 0, "word-aligned reads only"
+        return b"".join(
+            self.next_u32().to_bytes(4, "little") for _ in range(n // 4)
+        )
+
+
+class ChaCha20Rng(StdRng):
+    """rand_chacha ChaCha20Rng (same layout as StdRng, 20 rounds) — the
+    reference's test RNG: ``ChaCha20Rng::from_rng(test_rng())``
+    (/root/reference/poly-commit/src/lib.rs:681)."""
+
+    ROUNDS = 20
+
+    @classmethod
+    def from_rng(cls, parent: "StdRng") -> "ChaCha20Rng":
+        return cls(parent.fill_bytes(32))
 
 
 def ark_test_rng() -> StdRng:
@@ -318,3 +344,98 @@ class ArkPoseidonSponge:
         assembled from the first 128 squeezed LE bits."""
         bits = self.squeeze_bits(128)
         return sum(b << i for i, b in enumerate(bits)) % self.p
+
+
+# ---------------------------------------------------------------------------
+# ark-ec UniformRand emulation: random group elements exactly as arkworks
+# samples them in setup (kzg10/mod.rs:62-65) — loop {x = F::rand, greatest =
+# bool::rand, get_point_from_x_unchecked, mul_by_cofactor}.
+# ---------------------------------------------------------------------------
+
+
+def _cofactor(group) -> int:
+    from . import field_params as FP
+
+    return {
+        "bls12_381_g1": FP.BLS12_381_COFACTOR_G1,
+        "bls12_381_g2": FP.BLS12_381_COFACTOR_G2,
+    }[group.name]
+
+
+def _is_square_fp(a: int, p: int) -> bool:
+    return a % p == 0 or pow(a, (p - 1) // 2, p) == 1
+
+
+def _is_square_fp2(a, p: int, nr: int) -> bool:
+    norm = (a[0] * a[0] - nr * a[1] * a[1]) % p
+    return _is_square_fp(norm, p)
+
+
+def ark_g1_rand(rng: StdRng, group) -> tuple:
+    """G1Projective::rand over a short-Weierstrass host group; returns the
+    cofactor-cleared AFFINE host point (x, y)."""
+    from . import hostec
+    from .serialize import _sqrt_fp
+
+    spec = group.fops.spec
+    p = spec.modulus
+    b = group.b_int
+    hg = hostec.host_group(group)
+    cof = _cofactor(group)
+    while True:
+        x = ark_fp_rand(rng, spec)
+        greatest = rng.next_bool()
+        rhs = (pow(x, 3, p) + b) % p
+        if not _is_square_fp(rhs, p):
+            continue
+        y = _sqrt_fp(rhs, p)
+        y_hi, y_lo = max(y, (p - y) % p), min(y, (p - y) % p)
+        y = y_hi if greatest else y_lo
+        return _host_cofactor_mul(hg, (x, y), cof)
+
+
+def ark_g2_rand(rng: StdRng, group) -> tuple:
+    """G2Projective::rand (Fq2 coordinates; greatest = lexicographic with
+    c1 dominant, matching ark's QuadExtField Ord)."""
+    from . import hostec
+    from .serialize import _sqrt_fp2
+
+    spec = group.fops.spec
+    p = spec.modulus
+    nr = group.fops.non_residue
+    b = group.b_int  # (b0, b1)
+    hg = hostec.host_group(group)
+    cof = _cofactor(group)
+
+    def mul2(u, v):
+        return (
+            (u[0] * v[0] + nr * u[1] * v[1]) % p,
+            (u[0] * v[1] + u[1] * v[0]) % p,
+        )
+
+    while True:
+        c0 = ark_fp_rand(rng, spec)
+        c1 = ark_fp_rand(rng, spec)
+        greatest = rng.next_bool()
+        x = (c0, c1)
+        x3 = mul2(mul2(x, x), x)
+        rhs = ((x3[0] + b[0]) % p, (x3[1] + b[1]) % p)
+        if not _is_square_fp2(rhs, p, nr):
+            continue
+        y = _sqrt_fp2(rhs, p, nr)
+        yneg = ((p - y[0]) % p, (p - y[1]) % p)
+        y_hi = max(y[::-1], yneg[::-1])[::-1]
+        y_lo = min(y[::-1], yneg[::-1])[::-1]
+        y = tuple(y_hi if greatest else y_lo)
+        return _host_cofactor_mul(hg, (x, y), cof)
+
+
+def _host_cofactor_mul(hg, pt, cofactor: int):
+    """k*P WITHOUT reducing k mod the subgroup order (P is not yet in the
+    r-order subgroup — hg.mul/mul_fast would reduce and be wrong)."""
+    acc = None
+    for bit in reversed(range(cofactor.bit_length())):
+        acc = hg._jdouble(acc)
+        if (cofactor >> bit) & 1:
+            acc = hg._jmadd(acc, pt)
+    return hg._jto_affine(acc)

@@ -354,9 +354,25 @@ def scalar_bits(k: int, nbits: int | None = None):
 def scalar_mul_int(group, p, k: int):
     """p * k for a python-int scalar (single point).
 
-    Always uses a 256-bit scan so every call shares one compiled program.
+    On CPU hosts with concrete inputs this runs on python big-ints (see
+    core/msm.py::_host_ec_enabled — XLA:CPU compiles of the 256-step scan
+    take minutes); on TPU/under traces it is a 256-bit scan so every call
+    shares one compiled program.
     """
     k = int(k) % group.scalar_spec.modulus
+    from .msm import _any_tracer, _host_ec_enabled
+
+    if _host_ec_enabled() and not _any_tracer(*p):
+        from . import hostec
+
+        hg = hostec.host_group(group)
+        hp = hostec.device_proj_to_host(group, p)
+        ed = hostec._is_edwards(group)
+        if hp is None or (ed and tuple(hp) == (0, 1)):
+            res = hp
+        else:
+            res = hg.mul_fast(hp, k)
+        return hostec.host_point_to_device(group, res)
     return group.scalar_mul(p, scalar_bits(k, 256))
 
 

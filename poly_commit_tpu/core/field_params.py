@@ -160,6 +160,9 @@ BLS12_381_G2_Y = (
 BLS12_381_B = 4
 BLS12_381_X_PARAM = -0xD201000000010000  # BLS parameter t (negative)
 BLS12_381_COFACTOR_G1 = 0x396C8C005555E1568C00AAAB0000AAAB
+# (x^8 - 4x^7 + 5x^6 - 4x^4 + 6x^3 - 4x^2 - 4x + 13)/9 for the BLS parameter
+# x = -0xd201000000010000; verified r*(h2*Q) = infinity for random twist Q
+BLS12_381_COFACTOR_G2 = 0x5D543A95414E7F1091D50792876A202CD91DE4547085ABAA68A205B2E5A7DDFA628F1CB4D9E82EF21537E293A6691AE1616EC6E786F0C70CF1C38E31C7238E5
 
 # ---------------------------------------------------------------------------
 # BLS12-377 (used by reference tests alongside 381)

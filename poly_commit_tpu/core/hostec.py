@@ -125,6 +125,106 @@ class HostWeierstrass:
             acc = self.add(acc, self.mul(P, s))
         return acc
 
+    # -- Jacobian fast path (no per-op inversion) -------------------------
+    # Verifier-scale MSMs on CPU hosts: shared-doubling MSB-first over all
+    # points with Jacobian adds (~8 big-int mults each) instead of affine
+    # adds (one modular inversion each) — ~10x on python ints. Exact same
+    # group law; one inversion at the very end.
+
+    def _jdouble(self, P):
+        if P is None:
+            return None
+        f = self.f
+        X, Y, Z = P
+        if f.is_zero(Y):
+            return None
+        A = f.mul(X, X)
+        B = f.mul(Y, Y)
+        C = f.mul(B, B)
+        t = f.add(X, B)
+        D = f.sub(f.sub(f.mul(t, t), A), C)
+        D = f.add(D, D)
+        E = f.add(f.add(A, A), A)
+        X3 = f.sub(f.mul(E, E), f.add(D, D))
+        C8 = f.add(C, C)
+        C8 = f.add(C8, C8)
+        C8 = f.add(C8, C8)
+        Y3 = f.sub(f.mul(E, f.sub(D, X3)), C8)
+        Z3 = f.mul(f.add(Y, Y), Z)
+        return (X3, Y3, Z3)
+
+    def _jmadd(self, P, A):
+        """Jacobian P + affine A (A != None)."""
+        f = self.f
+        if P is None:
+            x, y = A
+            return (x, y, _one(f))
+        X1, Y1, Z1 = P
+        x2, y2 = A
+        Z1Z1 = f.mul(Z1, Z1)
+        U2 = f.mul(x2, Z1Z1)
+        S2 = f.mul(f.mul(y2, Z1), Z1Z1)
+        if U2 == X1:
+            if S2 == Y1:
+                return self._jdouble(P)
+            return None
+        H = f.sub(U2, X1)
+        HH = f.mul(H, H)
+        I = f.add(f.add(HH, HH), f.add(HH, HH))
+        J = f.mul(H, I)
+        r = f.sub(S2, Y1)
+        r = f.add(r, r)
+        V = f.mul(X1, I)
+        X3 = f.sub(f.sub(f.mul(r, r), J), f.add(V, V))
+        Y3 = f.sub(f.mul(r, f.sub(V, X3)), f.add(f.mul(Y1, J), f.mul(Y1, J)))
+        t = f.add(Z1, H)
+        Z3 = f.sub(f.sub(f.mul(t, t), Z1Z1), HH)
+        return (X3, Y3, Z3)
+
+    def _jto_affine(self, P):
+        if P is None:
+            return None
+        f = self.f
+        X, Y, Z = P
+        if f.is_zero(Z):
+            return None
+        zi = f.inv(Z)
+        zi2 = f.mul(zi, zi)
+        return (f.mul(X, zi2), f.mul(Y, f.mul(zi2, zi)))
+
+    def mul_fast(self, P, k):
+        if P is None:
+            return None
+        k = int(k) % self.order
+        acc = None
+        for bit in reversed(range(k.bit_length())):
+            acc = self._jdouble(acc)
+            if (k >> bit) & 1:
+                acc = self._jmadd(acc, P)
+        return self._jto_affine(acc)
+
+    def msm_fast(self, scalars, points):
+        """sum_i s_i * P_i: shared MSB-first doubling, Jacobian adds."""
+        pairs = [
+            (int(s) % self.order, P)
+            for s, P in zip(scalars, points)
+            if P is not None and int(s) % self.order != 0
+        ]
+        if not pairs:
+            return None
+        nbits = max(s.bit_length() for s, _ in pairs)
+        acc = None
+        for bit in reversed(range(nbits)):
+            acc = self._jdouble(acc)
+            for s, P in pairs:
+                if (s >> bit) & 1:
+                    acc = self._jmadd(acc, P)
+        return self._jto_affine(acc)
+
+
+def _one(f):
+    return (1, 0) if isinstance(f, _Fp2) else 1
+
 
 class HostEdwards:
     """a=-1 twisted Edwards; identity (0, 1)."""
@@ -168,6 +268,59 @@ class HostEdwards:
     def identity(self):
         return (0, 1)
 
+    # -- extended-coordinate fast path (a = -1; no per-op inversion) -------
+    # (X, Y, Z, T) with x = X/Z, y = Y/Z, T = XY/Z; add-2008-hwcd-3.
+
+    def _eadd(self, P, Q):
+        p, d = self.p, self.d
+        X1, Y1, Z1, T1 = P
+        X2, Y2, Z2, T2 = Q
+        A = (Y1 - X1) * (Y2 - X2) % p
+        B = (Y1 + X1) * (Y2 + X2) % p
+        C = 2 * d * T1 % p * T2 % p
+        D = 2 * Z1 * Z2 % p
+        E = B - A
+        F = D - C
+        G = D + C
+        H = B + A
+        return (E * F % p, G * H % p, F * G % p, E * H % p)
+
+    def _eto_ext(self, P):
+        x, y = P
+        return (x % self.p, y % self.p, 1, x * y % self.p)
+
+    def _eto_affine(self, P):
+        X, Y, Z, _ = P
+        zi = pow(Z, -1, self.p)
+        return (X * zi % self.p, Y * zi % self.p)
+
+    def mul_fast(self, P, k):
+        k = int(k) % self.order
+        acc = (0, 1, 1, 0)
+        base = self._eto_ext(P)
+        for bit in reversed(range(max(1, k.bit_length()))):
+            acc = self._eadd(acc, acc)
+            if (k >> bit) & 1:
+                acc = self._eadd(acc, base)
+        return self._eto_affine(acc)
+
+    def msm_fast(self, scalars, points):
+        pairs = [
+            (int(s) % self.order, self._eto_ext(P))
+            for s, P in zip(scalars, points)
+            if int(s) % self.order != 0 and tuple(P) != (0, 1)
+        ]
+        if not pairs:
+            return (0, 1)
+        nbits = max(s.bit_length() for s, _ in pairs)
+        acc = (0, 1, 1, 0)
+        for bit in reversed(range(nbits)):
+            acc = self._eadd(acc, acc)
+            for s, P in pairs:
+                if (s >> bit) & 1:
+                    acc = self._eadd(acc, P)
+        return self._eto_affine(acc)
+
 
 def host_group(group):
     """Build the host mirror for a device group instance (by name)."""
@@ -185,6 +338,97 @@ def host_group(group):
     if n == "jubjub":
         return HostEdwards(FP.BLS12_381_R, FP.JUBJUB_D, FP.JUBJUB_R)
     raise ValueError(n)
+
+
+def _is_edwards(group) -> bool:
+    return group.__class__.__name__ == "EdwardsGroup"
+
+
+def device_affine_to_host(group, points) -> list:
+    """Batched device affine (x, y, inf) -> list of host points.
+
+    Weierstrass infinity -> None; Edwards identity -> (0, 1); Fq2
+    coordinates become int tuples (the _Fp2 convention)."""
+    import numpy as np
+
+    from . import field as F
+
+    x, y, inf = points
+    spec = group.fops.spec
+    inf_np = np.asarray(inf).reshape(-1)
+    xs = F.to_ints(spec, x)
+    ys = F.to_ints(spec, y)
+    if np.ndim(inf) == 0:  # batch (): wrap into 1-element lists
+        xs, ys = [xs], [ys]
+    ed = _is_edwards(group)
+    out = []
+    for i in range(len(inf_np)):
+        if inf_np[i]:
+            out.append((0, 1) if ed else None)
+        elif group.fops.elem_ndim == 2:
+            out.append((tuple(xs[i]), tuple(ys[i])))
+        else:
+            out.append((xs[i], ys[i]))
+    return out
+
+
+def host_points_to_device_affine(group, pts):
+    """List of host affine points -> batched device (x, y, inf)."""
+    from .curve import affine_from_ints
+
+    ed = _is_edwards(group)
+    fq2 = group.fops.elem_ndim == 2
+    triples = []
+    for P in pts:
+        if P is None or (ed and tuple(P) == (0, 1)):
+            triples.append(host_to_triple(None, fq2))
+        else:
+            triples.append((P[0], P[1], False))
+    return affine_from_ints(group, triples)
+
+
+def host_point_to_device(group, P):
+    """One host affine point -> device projective point, batch ()."""
+    from . import field as F
+
+    f = group.fops
+    spec = f.spec
+    if _is_edwards(group):
+        if P is None:
+            P = (0, 1)
+        return group.from_affine(F.from_ints(spec, P[0]), F.from_ints(spec, P[1]))
+    if P is None:
+        return group.infinity(())
+    if f.elem_ndim == 2:
+        x = F.from_ints(spec, list(P[0]))
+        y = F.from_ints(spec, list(P[1]))
+    else:
+        x = F.from_ints(spec, P[0])
+        y = F.from_ints(spec, P[1])
+    return group.from_affine(x, y)
+
+
+def device_proj_to_host(group, p):
+    """Device projective point (batch ()) -> host affine point, normalizing
+    on host ints (no device inversion kernels)."""
+    from . import field as F
+
+    spec = group.fops.spec
+    coords = [F.to_ints(spec, c) for c in p]
+    if group.fops.elem_ndim == 2:
+        coords = [tuple(c) for c in coords]
+    hg = host_group(group)
+    f = getattr(hg, "f", None)
+    if _is_edwards(group):
+        X, Y, Z, _ = coords
+        zi = pow(Z, -1, hg.p)
+        return (X * zi % hg.p, Y * zi % hg.p)
+    X, Y, Z = coords
+    if f.is_zero(Z):
+        return None
+    zi = f.inv(Z)
+    zi2 = f.mul(zi, zi)
+    return (f.mul(X, zi2), f.mul(Y, f.mul(zi2, zi)))
 
 
 def triple_to_host(t):

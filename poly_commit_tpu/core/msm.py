@@ -102,6 +102,85 @@ def _fast_path_ok(group) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _host_ec_enabled() -> bool:
+    """Small *concrete* EC workloads on CPU hosts run on python big-ints:
+    exact math at microseconds/op versus multi-minute XLA:CPU compiles of
+    unrolled limb formulas. Mirrors the reference, whose verifier-side math
+    is equally CPU-serial. Never applies on TPU or under a trace.
+    POLY_COMMIT_HOST_EC=0 forces the device kernels (kernel tests)."""
+    import os
+
+    if jax.default_backend() == "tpu":
+        return False
+    env = os.environ.get("POLY_COMMIT_HOST_EC")
+    if env is not None:
+        return env not in ("0", "false")
+    return True
+
+
+def _host_msm_max() -> int:
+    import os
+
+    return int(os.environ.get("POLY_COMMIT_HOST_MSM_MAX", "1024"))
+
+
+def _any_tracer(*arrs) -> bool:
+    import jax.core
+
+    return any(isinstance(a, jax.core.Tracer) for a in arrs)
+
+
+def _msm_host(group, scalars: jnp.ndarray, points):
+    """Host big-int MSM (shared-doubling, Jacobian/extended adds)."""
+    from . import hostec
+
+    arr = np.asarray(scalars, np.uint64)
+    ints = [
+        sum(int(v) << (16 * j) for j, v in enumerate(row)) for row in arr
+    ]
+    host_pts = hostec.device_affine_to_host(group, points)
+    hg = hostec.host_group(group)
+    res = hg.msm_fast(ints, host_pts)
+    return hostec.host_point_to_device(group, res)
+
+
+def _naive_max() -> int:
+    import os
+
+    return int(os.environ.get("POLY_COMMIT_NAIVE_MSM_MAX", "32"))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _msm_naive_impl(group, scalars: jnp.ndarray, points):
+    """Vectorized double-and-add MSM for tiny N (the right algorithm when
+    Pippenger's window/bucket machinery is pure overhead — and a ~10x
+    smaller XLA graph: one double+madd scan body plus one add body, which
+    matters on the multi-minute XLA:CPU compiles of unrolled limb math).
+
+    scalars (N, 16) plain limbs; points affine (x, y, inf). Returns the
+    group's native projective point, batch ()."""
+    x, y, inf = points
+    n = scalars.shape[0]
+    # MSB-first bit planes (256, N)
+    t = np.arange(SCALAR_BITS)
+    limb_idx = jnp.asarray((SCALAR_BITS - 1 - t) // 16, jnp.int32)
+    shifts = jnp.asarray(((SCALAR_BITS - 1 - t) % 16).astype(np.uint32))
+    bits = ((scalars[:, limb_idx] >> shifts[None, :]) & 1).T.astype(bool)
+
+    def bit_body(acc, bit):
+        acc = group.double(acc)
+        added = group.madd(acc, x, y, inf)
+        return group.select(bit & ~inf, added, acc), None
+
+    prods, _ = jax.lax.scan(bit_body, group.infinity((n,)), bits)
+
+    def red_body(acc, pt):
+        return group.add(acc, pt), None
+
+    acc, _ = jax.lax.scan(red_body, group.infinity(()), prods)
+    return acc
+
+
 def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | None = None,
         assume_distinct: bool = False):
     """MSM: sum_i scalars[i] * points[i].
@@ -123,6 +202,14 @@ def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | 
     (P+P would silently yield infinity); ignored by the portable kernel
     (complete formulas).
     """
+    if (
+        c is None
+        and lanes is None
+        and _host_ec_enabled()
+        and scalars.shape[0] <= _host_msm_max()
+        and not _any_tracer(scalars, *points)
+    ):
+        return _msm_host(group, scalars, points)
     if c is None and lanes is None and _fast_path_ok(group):
         from . import ff
         from . import msm_tpu
@@ -150,6 +237,8 @@ def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | 
             jnp.pad(y, zpad),
             jnp.pad(inf, [(0, n_pow2 - n0)], constant_values=True),
         )
+    if c is None and lanes is None and n_pow2 <= _naive_max():
+        return _msm_naive_impl(group, scalars, points)
     return _msm_impl(group, scalars, points, c, lanes)
 
 
@@ -317,6 +406,8 @@ def fixed_base_mul(group, base, scalars: jnp.ndarray):
     windowed-table path (core/msm_tpu.py::fixed_base) — the portable scan
     below compiles enormous XLA:CPU graphs when the backend lowers it to
     the host."""
+    if _host_ec_enabled() and not _any_tracer(scalars, *base):
+        return _fixed_base_host(group, base, scalars)
     if _fast_path_ok(group):
         if jax.default_backend() == "tpu":
             from . import ff
@@ -360,36 +451,70 @@ def fixed_base_mul(group, base, scalars: jnp.ndarray):
 
 
 def _fixed_base_host(group, base, scalars: jnp.ndarray):
-    """CPU fallback for the fast-path curves: windowed mul per scalar on
-    host ints (setup-only code; device work would be either an eager
-    dispatch storm or an enormous XLA:CPU compile)."""
+    """CPU fallback (any curve): base^s per scalar on host ints with a
+    shared window table (setup-only code; device work would be either an
+    eager dispatch storm or an enormous XLA:CPU compile)."""
     from . import hostec
 
-    spec = group.fops.spec
     hg = hostec.host_group(group)
-    bx, by, binf = group.to_affine(base)
-    bpt = None if bool(np.asarray(binf)) else (
-        F.to_ints(spec, bx),
-        F.to_ints(spec, by),
-    )
+    bpt = hostec.device_proj_to_host(group, base)
+    ed = hostec._is_edwards(group)
     arr = np.asarray(scalars, np.uint64)
-    outs_x, outs_y, outs_inf = [], [], []
-    for i in range(arr.shape[0]):
-        s = 0
-        for j in reversed(range(arr.shape[1])):
-            s = (s << 16) + int(arr[i, j])
-        p = hg.mul(bpt, s)
-        if p is None:
-            outs_x.append(0)
-            outs_y.append(1)
-            outs_inf.append(True)
-        else:
-            outs_x.append(p[0])
-            outs_y.append(p[1])
-            outs_inf.append(False)
-    x = F.from_ints(spec, outs_x)
-    y = F.from_ints(spec, outs_y)
-    return group.from_affine(x, y, jnp.asarray(np.asarray(outs_inf)))
+    ints = [
+        sum(int(v) << (16 * j) for j, v in enumerate(row)) for row in arr
+    ]
+    outs = []
+    if bpt is None or (ed and tuple(bpt) == (0, 1)):
+        outs = [None] * len(ints)
+    else:
+        # shared 4-bit window table: 14 adds once + 64 adds/point
+        tbl = _host_window_table(hg, bpt, ed)
+        for s in ints:
+            outs.append(_host_windowed_mul(hg, tbl, s % hg.order, ed))
+    x, y, inf = hostec.host_points_to_device_affine(group, outs)
+    return group.from_affine(x, y, inf)
+
+
+def _host_window_table(hg, bpt, ed: bool, c: int = 4):
+    """[k * base for k in 0..2^c-1] as AFFINE host points."""
+    if ed:
+        base = hg._eto_ext(bpt)
+        cur = (0, 1, 1, 0)
+        tbl = [(0, 1)]
+        for _ in range((1 << c) - 1):
+            cur = hg._eadd(cur, base)
+            tbl.append(hg._eto_affine(cur))
+        return tbl
+    cur = None
+    tbl = [None]
+    for _ in range((1 << c) - 1):
+        cur = hg._jmadd(cur, bpt)
+        tbl.append(hg._jto_affine(cur))
+    return tbl
+
+
+def _host_windowed_mul(hg, tbl, s: int, ed: bool, c: int = 4):
+    digits = []
+    while s:
+        digits.append(s & ((1 << c) - 1))
+        s >>= c
+    if not digits:
+        return (0, 1) if ed else None
+    if ed:
+        acc = (0, 1, 1, 0)
+        for d in reversed(digits):
+            for _ in range(c):
+                acc = hg._eadd(acc, acc)
+            if d:
+                acc = hg._eadd(acc, hg._eto_ext(tbl[d]))
+        return hg._eto_affine(acc)
+    acc = None
+    for d in reversed(digits):
+        for _ in range(c):
+            acc = hg._jdouble(acc)
+        if d:
+            acc = hg._jmadd(acc, tbl[d])
+    return hg._jto_affine(acc)
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -174,16 +174,27 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
 
     m = w_count * t_lanes
 
+    # gathers must index the MAJOR axis with the limb axis contiguous and
+    # minor: a take on (L, N') columns reads L strided 4-byte words per
+    # point (HBM row-granularity waste ~24x); on (N', L) each gathered row
+    # is one contiguous 4*L-byte read. Points are gathered limbs-last and
+    # transposed to the kernels' limbs-first layout in-register; emitted
+    # prefixes are transposed once per step so the tail gather downstream
+    # reads contiguous rows too.
+    x_last = x.T  # (N', L)
+    y_last = y.T
+
     def main_body(accum, inp):
         idx, skip = inp
-        px = jnp.take(x, idx, axis=1)
-        py = jnp.take(y, idx, axis=1)
+        px = jnp.take(x_last, idx, axis=0).T  # (m, L) gather -> (L, m)
+        py = jnp.take(y_last, idx, axis=0).T
         if assume_distinct:
             added = EC.madd_distinct(spec, accum, px, py)
         else:
             added = EC.madd(spec, accum, px, py)
         accum = EC.select(skip, accum, added)
-        return accum, accum  # emit the inclusive within-lane prefix
+        # emit the inclusive within-lane prefix, limbs-last for the gather
+        return accum, tuple(cc.T for cc in accum)
 
     if jax.default_backend() == "tpu":
         lane_sums, prefixes = jax.lax.scan(
@@ -202,7 +213,7 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
         prefixes = tuple(
             jnp.stack([p[k] for p in prefs], 0) for k in range(3)
         )
-    # prefixes: tuple of 3 coord arrays (S, L, m); lane_sums: coords (L, m)
+    # prefixes: tuple of 3 coord arrays (S, m, L); lane_sums: coords (L, m)
 
     # ---- exclusive cross-lane prefix per window (Blelloch) ----
     levels = t_lanes.bit_length() - 1
@@ -254,9 +265,9 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
     empty = (tails < 0).reshape(-1)
 
     within = tuple(
-        cc[step_flat, :, lane_flat].swapaxes(0, 1) for cc in prefixes
-    )  # (L, W*bsz)
-    lp_at = tuple(cc[:, lane_flat] for cc in lane_pref)
+        cc[step_flat, lane_flat, :].T for cc in prefixes
+    )  # (S, m, L) rows are contiguous per (step, lane) -> (L, W*bsz)
+    lp_at = tuple(cc.T[lane_flat, :].T for cc in lane_pref)
     g = EC.add(spec, within, lp_at)  # inclusive global prefix at tails
     g = EC.select(empty, EC.infinity(spec, g[0].shape[1]), g)
 

@@ -76,27 +76,39 @@ def _butterfly_fn(spec: FieldSpec, n_half: int, use_pallas: bool):
     return jax.jit(run)
 
 
-def _ntt_lf_body(spec: FieldSpec, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
-    """a: (L, n) Montgomery limbs-first. In-order -> in-order."""
-    L, n = a.shape
+def _ntt_lf_body(spec: FieldSpec, a: jnp.ndarray, inverse: bool,
+                 rows: int = 1) -> jnp.ndarray:
+    """a: (L, rows*n) Montgomery limbs-first — ``rows`` independent
+    contiguous length-n transforms batched in one kernel sweep (the
+    butterfly structure is block-periodic, so each stage is still ONE fused
+    launch over the full lane axis). In-order -> in-order per block."""
+    L, total = a.shape
+    assert total % rows == 0
+    n = total // rows
     log_n = int(np.log2(n))
     assert 1 << log_n == n
     tw = _twiddles_lf(spec, log_n, inverse)
-    rev = jnp.asarray(NTT._bitrev_perm(log_n))
-    a = jnp.take(a, rev, axis=1)
-    use_pallas = ff._use_pallas() and (n // 2) % 128 == 0
+    rev = NTT._bitrev_perm(log_n)
+    if rows > 1:
+        rev = (
+            np.arange(rows)[:, None] * n + np.asarray(rev)[None, :]
+        ).reshape(-1)
+    a = jnp.take(a, jnp.asarray(rev), axis=1)
+    use_pallas = ff._use_pallas() and (total // 2) % 128 == 0
 
     for s in range(log_n):
         half = 1 << s
-        m = n // (2 * half)
+        m = total // (2 * half)
         x = a.reshape(L, m, 2, half)
-        u = x[:, :, 0, :].reshape(L, n // 2)
-        w = x[:, :, 1, :].reshape(L, n // 2)
+        u = x[:, :, 0, :].reshape(L, total // 2)
+        w = x[:, :, 1, :].reshape(L, total // 2)
         t = jnp.asarray(tw[s])
-        lo, hi = _butterfly_fn(spec, n // 2, use_pallas)(u, w, t)
+        if rows > 1:
+            t = jnp.tile(t, (1, rows))
+        lo, hi = _butterfly_fn(spec, total // 2, use_pallas)(u, w, t)
         a = jnp.stack(
             [lo.reshape(L, m, half), hi.reshape(L, m, half)], axis=2
-        ).reshape(L, n)
+        ).reshape(L, total)
 
     if inverse:
         d = NTT.domain(spec, log_n)
@@ -105,15 +117,16 @@ def _ntt_lf_body(spec: FieldSpec, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     return a
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def _ntt_lf_jit(spec: FieldSpec, a, inverse: bool):
-    return _ntt_lf_body(spec, a, inverse)
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _ntt_lf_jit(spec: FieldSpec, a, inverse: bool, rows: int = 1):
+    return _ntt_lf_body(spec, a, inverse, rows)
 
 
-def ntt(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    """Forward NTT on (L, n) limbs-first Montgomery coefficients."""
-    return _ntt_lf_jit(spec, a, False)
+def ntt(spec: FieldSpec, a: jnp.ndarray, rows: int = 1) -> jnp.ndarray:
+    """Forward NTT on (L, rows*n) limbs-first Montgomery coefficients
+    (``rows`` independent contiguous transforms — the RS-encode batch)."""
+    return _ntt_lf_jit(spec, a, False, rows)
 
 
-def intt(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    return _ntt_lf_jit(spec, a, True)
+def intt(spec: FieldSpec, a: jnp.ndarray, rows: int = 1) -> jnp.ndarray:
+    return _ntt_lf_jit(spec, a, True, rows)

@@ -234,31 +234,77 @@ class BlsPairing:
         return out
 
     # ---- Miller loop ----
-    def _line(self, t, q_or_none, p_aff):
-        f2 = self
+    def _slope(self, t, q_or_none):
+        """Line slope through t (doubling) or t, q (addition): one Fq2 inv."""
         xt, yt = t
         if q_or_none is None:
-            lam = f2.f2_mul(
-                f2.f2_mul((3, 0), f2.f2_mul(xt, xt)),
-                f2.f2_inv(f2.f2_add(yt, yt)),
+            return self.f2_mul(
+                self.f2_mul((3, 0), self.f2_mul(xt, xt)),
+                self.f2_inv(self.f2_add(yt, yt)),
             )
-        else:
-            xq, yq = q_or_none
-            lam = f2.f2_mul(f2.f2_sub(yq, yt), f2.f2_inv(f2.f2_sub(xq, xt)))
+        xq, yq = q_or_none
+        return self.f2_mul(self.f2_sub(yq, yt), self.f2_inv(self.f2_sub(xq, xt)))
+
+    def _line_from_coeff(self, coeff, p_aff):
+        """Assemble the sparse Fq12 line from the Q-only coefficients
+        (lam, lam*xt - yt) and the G1 point."""
+        lam, c = coeff
         xp, yp = p_aff
         z = (0, 0)
         out = [z] * 6
         if self.twist == "M":
             # l*xi = yp*xi + (lam*xt - yt) w^3 + (-lam*xp) w^5
-            out[0] = f2.f2_mul((yp % self.p, 0), self.xi)
-            out[3] = f2.f2_sub(f2.f2_mul(lam, xt), yt)
-            out[5] = f2.f2_neg(f2.f2_mul(lam, (xp % self.p, 0)))
+            out[0] = self.f2_mul((yp % self.p, 0), self.xi)
+            out[3] = c
+            out[5] = self.f2_neg(self.f2_mul(lam, (xp % self.p, 0)))
         else:
             # D-twist: l = yp + (-lam*xp) w + (lam*xt - yt) w^3
             out[0] = (yp % self.p, 0)
-            out[1] = f2.f2_neg(f2.f2_mul(lam, (xp % self.p, 0)))
-            out[3] = f2.f2_sub(f2.f2_mul(lam, xt), yt)
-        return out, lam
+            out[1] = self.f2_neg(self.f2_mul(lam, (xp % self.p, 0)))
+            out[3] = c
+        return out
+
+    def _line(self, t, q_or_none, p_aff):
+        lam = self._slope(t, q_or_none)
+        c = self.f2_sub(self.f2_mul(lam, t[0]), t[1])
+        return self._line_from_coeff((lam, c), p_aff), lam
+
+    # -- G2 precomputation (arkworks G2Prepared / PreparedVerifierKey,
+    #    kzg10/data_structures.rs:285-312): the Miller loop's Q-only work —
+    #    one Fq2 inversion + the (lam, lam*xt - yt) pair per step — paid
+    #    once per verifier key instead of once per pairing ------------------
+
+    def prepare_g2(self, q_triple):
+        """(x, y, inf) host ints -> list of per-step line coefficients
+        (None for the identity, which contributes f = 1)."""
+        qx, qy, qinf = q_triple
+        if qinf:
+            return None
+        q_aff = (qx, qy)
+        bits = bin(abs(self.x_param))[2:]
+        t = q_aff
+        coeffs = []
+        for bit in bits[1:]:
+            lam = self._slope(t, None)
+            coeffs.append((lam, self.f2_sub(self.f2_mul(lam, t[0]), t[1])))
+            t = self._g2_dbl(t, lam)
+            if bit == "1":
+                lam = self._slope(t, q_aff)
+                coeffs.append((lam, self.f2_sub(self.f2_mul(lam, t[0]), t[1])))
+                t = self._g2_add(t, q_aff, lam)
+        return coeffs
+
+    def miller_loop_prepared(self, p_aff, coeffs):
+        bits = bin(abs(self.x_param))[2:]
+        it = iter(coeffs)
+        f = self.f12_one()
+        for bit in bits[1:]:
+            f = self.f12_mul(self.f12_sqr(f), self._line_from_coeff(next(it), p_aff))
+            if bit == "1":
+                f = self.f12_mul(f, self._line_from_coeff(next(it), p_aff))
+        if self.x_param < 0:
+            f = self.f12_conj(f)
+        return f
 
     def _g2_dbl(self, t, lam):
         xt, yt = t
@@ -297,16 +343,28 @@ class BlsPairing:
             return self.f12_one()
         return self.final_exp(self.miller_loop((px, py), (qx, qy)))
 
-    def pairing_product_is_one(self, g1_triples, g2_triples) -> bool:
+    def pairing_product_is_one(self, g1_triples, g2_triples,
+                               prepared=None) -> bool:
         """prod e(P_i, Q_i) == 1 with one shared final exponentiation
-        (arkworks multi_pairing, kzg10/mod.rs:326-329)."""
+        (arkworks multi_pairing, kzg10/mod.rs:326-329).
+
+        prepared: optional list parallel to g2_triples of prepare_g2
+        outputs (or None per entry) — skips the per-step Fq2 inversions."""
         acc = self.f12_one()
         any_real = False
-        for (px, py, pinf), (qx, qy, qinf) in zip(g1_triples, g2_triples):
+        for i, ((px, py, pinf), (qx, qy, qinf)) in enumerate(
+            zip(g1_triples, g2_triples)
+        ):
             if pinf or qinf:
                 continue
             any_real = True
-            acc = self.f12_mul(acc, self.miller_loop((px, py), (qx, qy)))
+            coeffs = prepared[i] if prepared is not None else None
+            if coeffs is not None:
+                acc = self.f12_mul(
+                    acc, self.miller_loop_prepared((px, py), coeffs)
+                )
+            else:
+                acc = self.f12_mul(acc, self.miller_loop((px, py), (qx, qy)))
         if not any_real:
             return True
         return self.final_exp(acc) == self.f12_one()

@@ -88,20 +88,12 @@ def _fold_gathered(group, gathered, n_dev: int):
     return acc
 
 
-def msm_sharded(group, scalars: jnp.ndarray, points, mesh: Mesh,
-                c: int | None = None, lanes: int | None = None,
-                axis: str | None = None, assume_distinct: bool = False):
-    """MSM with bases+scalars sharded over a mesh axis (default: first).
-
-    scalars: (N, 16) plain limbs; points: affine (x, y, inf) batched (N, ...).
-    N must be divisible by the axis size (pad with inf points otherwise —
-    see :func:`pad_msm_inputs`). Returns a replicated projective point.
-
-    With c/lanes None the per-device kernel uses the normal dispatch — the
-    limbs-first fast path on TPU (or POLY_COMMIT_FAST_MSM=1); explicit
-    c/lanes pins the portable kernel.
-    """
-    axis = axis or mesh.axis_names[0]
+@functools.lru_cache(maxsize=64)
+def _msm_sharded_fn(group, mesh: Mesh, axis: str, c, lanes,
+                    assume_distinct: bool):
+    """Jitted shard_map MSM, cached per (group, mesh, axis, kernel params):
+    rebuilding the shard_map closure per call would re-trace AND re-compile
+    every call — fatal on XLA:CPU where one EC compile takes minutes."""
     n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
 
     def local(sc, x, y, inf):
@@ -114,15 +106,66 @@ def msm_sharded(group, scalars: jnp.ndarray, points, mesh: Mesh,
 
     pt_specs = tuple(PSpec(axis) for _ in range(3))
     out_proto = group.infinity(())
-    fn = shard_map(
+    return jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=(PSpec(axis),) + pt_specs,
         out_specs=jax.tree_util.tree_map(lambda _: PSpec(), out_proto),
         check_rep=False,
-    )
+    ))
+
+
+def msm_sharded(group, scalars: jnp.ndarray, points, mesh: Mesh,
+                c: int | None = None, lanes: int | None = None,
+                axis: str | None = None, assume_distinct: bool = False):
+    """MSM with bases+scalars sharded over a mesh axis (default: first).
+
+    scalars: (N, 16) plain limbs; points: affine (x, y, inf) batched (N, ...).
+    N must be divisible by the axis size (pad with inf points otherwise —
+    see :func:`pad_msm_inputs`). Returns a replicated projective point.
+
+    With c/lanes None the per-device kernel uses the normal dispatch — the
+    limbs-first fast path on TPU (or POLY_COMMIT_FAST_MSM=1), the naive
+    double-and-add kernel for tiny local shards; explicit c/lanes pins the
+    portable Pippenger kernel.
+    """
+    axis = axis or mesh.axis_names[0]
+    fn = _msm_sharded_fn(group, mesh, axis, c, lanes, assume_distinct)
     x, y, inf = points
     return fn(scalars, x, y, inf)
+
+
+@functools.lru_cache(maxsize=32)
+def _batch_msm_sharded_fn(group, mesh: Mesh, axis: str, assume_distinct: bool):
+    """Independent per-row MSMs with the ROW axis sharded (DP analogue —
+    the reference's rayon loop over Hyrax row commits, hyrax/mod.rs:233-242,
+    SURVEY §2.5 DP row). Bases are replicated; no collective needed."""
+
+    def local(rows, x, y, inf):
+        def one(row):
+            return M.msm(group, row, (x, y, inf),
+                         assume_distinct=assume_distinct)
+
+        return jax.vmap(one)(rows)
+
+    out_proto = group.infinity((1,))
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(PSpec(axis), PSpec(), PSpec(), PSpec()),
+        out_specs=jax.tree_util.tree_map(lambda _: PSpec(axis), out_proto),
+        check_rep=False,
+    ))
+
+
+def batch_msm_sharded(group, rows, points, mesh: Mesh, axis: str | None = None,
+                      assume_distinct: bool = False):
+    """rows: (B, N, 16) plain scalars, one MSM per row over shared points.
+    B must be divisible by the axis size. Returns projective batch (B,)."""
+    axis = axis or mesh.axis_names[0]
+    fn = _batch_msm_sharded_fn(group, mesh, axis, assume_distinct)
+    x, y, inf = points
+    return fn(rows, x, y, inf)
 
 
 def pad_msm_inputs(group, scalars, points, multiple: int):
@@ -181,8 +224,20 @@ def ntt_sharded(spec, coeffs: jnp.ndarray, mesh: Mesh, inverse: bool = False,
     full-array gather. Sizes below n_dev^2 fall back to the gather path.
     """
     axis = axis or mesh.axis_names[0]
-    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
     n = coeffs.shape[0]
+    fn = _ntt_sharded_fn(spec, mesh, axis, n, inverse)
+    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    if n_dev == 1 or n % (n_dev * n_dev) != 0:
+        return fn(coeffs)
+    tw = jnp.asarray(_cross_twiddles(spec, n_dev, n // n_dev, inverse))
+    return fn(coeffs, tw)
+
+
+@functools.lru_cache(maxsize=64)
+def _ntt_sharded_fn(spec, mesh: Mesh, axis: str, n: int, inverse: bool):
+    """Jitted shard_map NTT, cached per (spec, mesh, axis, size, dir) —
+    same re-trace/re-compile hazard as _msm_sharded_fn."""
+    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
 
     if n_dev == 1 or n % (n_dev * n_dev) != 0:
         # small/ragged fallback: gather + local transform
@@ -193,13 +248,12 @@ def ntt_sharded(spec, coeffs: jnp.ndarray, mesh: Mesh, inverse: bool = False,
             shard = out.shape[0] // n_dev
             return jax.lax.dynamic_slice_in_dim(out, idx * shard, shard, axis=0)
 
-        return shard_map(
+        return jax.jit(shard_map(
             local_small, mesh=mesh, in_specs=PSpec(axis),
             out_specs=PSpec(axis), check_rep=False,
-        )(coeffs)
+        ))
 
     n1, n2 = n_dev, n // n_dev
-    tw = jnp.asarray(_cross_twiddles(spec, n1, n2, inverse))  # (n2, n1, L)
     sub = NTT.intt if inverse else NTT.ntt
 
     def local(a, tw_loc):
@@ -222,11 +276,34 @@ def ntt_sharded(spec, coeffs: jnp.ndarray, mesh: Mesh, inverse: bool = False,
         x = _transpose_sharded(c, axis, n_dev)
         return x.reshape(n // n_dev, L)
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         local, mesh=mesh, in_specs=(PSpec(axis), PSpec(axis)),
         out_specs=PSpec(axis), check_rep=False,
-    )
-    return fn(coeffs, tw)
+    ))
+
+
+@functools.lru_cache(maxsize=32)
+def _batch_ntt_sharded_fn(spec, mesh: Mesh, axis: str, inverse: bool):
+    """Independent per-row NTTs with the ROW axis sharded (the Ligero
+    RS-encode layout: each device transforms its own rows, zero
+    communication — SURVEY §2.5 DP row vs the reference's rayon row loop,
+    linear_codes/mod.rs:131-135)."""
+
+    def local(rows):
+        return NTT.intt(spec, rows) if inverse else NTT.ntt(spec, rows)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=PSpec(axis), out_specs=PSpec(axis),
+        check_rep=False,
+    ))
+
+
+def batch_ntt_sharded(spec, rows: jnp.ndarray, mesh: Mesh,
+                      axis: str | None = None, inverse: bool = False):
+    """rows: (R, n, L) — R independent transforms, R divisible by the axis
+    size. Returns (R, n_out, L)."""
+    axis = axis or mesh.axis_names[0]
+    return _batch_ntt_sharded_fn(spec, mesh, axis, inverse)(rows)
 
 
 def shard_batch(arr, mesh: Mesh, axis: str | None = None):

@@ -43,9 +43,14 @@ class CurveCtx:
 
         return PG.bls12_381() if self.name == "bls12_381" else PG.bls12_377()
 
-    def pairing_product_is_one(self, g1_triples, g2_triples) -> bool:
+    def pairing_product_is_one(self, g1_triples, g2_triples,
+                               prepared=None) -> bool:
         """prod e(P_i, Q_i) == 1 from host int triples; dispatches between
-        the device kernels (TPU, 381 only) and the host engines."""
+        the device kernels (TPU, 381 only) and the host engines.
+
+        prepared: optional list parallel to g2_triples of
+        ``engine.prepare_g2`` outputs (PreparedVerifierKey analogue,
+        kzg10/data_structures.rs:285-312); used on the host engines."""
         if self.device_pairing_ok:
             from . import kzg10
 
@@ -53,11 +58,17 @@ class CurveCtx:
                 p_aff = C.affine_from_ints(self.g1, g1_triples)
                 q_aff = C.affine_from_ints(self.g2, g2_triples)
                 return kzg10.pairing_check_padded(p_aff, q_aff)
-            if self.name == "bls12_381":
+            if self.name == "bls12_381" and prepared is None:
                 from ..core import host_pairing as HP
 
                 return HP.pairing_product_is_one(g1_triples, g2_triples)
-        return self.engine.pairing_product_is_one(g1_triples, g2_triples)
+        return self.engine.pairing_product_is_one(
+            g1_triples, g2_triples, prepared
+        )
+
+    def prepare_g2(self, q_triple):
+        """Host-engine G2 line-coefficient precomputation."""
+        return self.engine.prepare_g2(q_triple)
 
 
 CTX_BLS12_381 = CurveCtx(

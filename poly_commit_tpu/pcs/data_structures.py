@@ -223,14 +223,95 @@ class LabeledCommitment:
 
 @dataclasses.dataclass
 class LinearCombination:
-    """label + [(coeff_int, term)] with term 'one' or a polynomial label
-    (data_structures.rs:289-383)."""
+    """label + [(coeff_int, term)] with term 'one' or a polynomial label,
+    with the reference's operator algebra (data_structures.rs:289-383):
+    consumers (e.g. a Marlin SNARK) build LCs with +, -, * instead of
+    hand-assembling term lists.
+
+        lc = LinearCombination.empty("row_check")
+        lc += (2, "w")            # coeff * label
+        lc += "z"                 # unit coeff
+        lc -= (5, LCTerm.ONE)     # constant term
+        lc2 = 3 * lc              # scalar scaling
+        lc3 = lc - lc2            # merge two LCs (keeps lhs label)
+    """
 
     label: str
     terms: list  # [(int, str)] where str == "one" or a poly label
 
     def poly_labels(self):
         return [t for _, t in self.terms if t != "one"]
+
+    # -- construction (data_structures.rs:296-320) -----------------------
+    @classmethod
+    def empty(cls, label: str) -> "LinearCombination":
+        return cls(label, [])
+
+    @classmethod
+    def new(cls, label: str, terms) -> "LinearCombination":
+        return cls(label, [_as_term(t) for t in terms])
+
+    # -- operators (data_structures.rs:322-383) ---------------------------
+    def _merged(self, other, sign: int) -> list:
+        if isinstance(other, LinearCombination):
+            extra = [(sign * c, t) for c, t in other.terms]
+        else:
+            c, t = _as_term(other)
+            extra = [(sign * c, t)]
+        return list(self.terms) + extra
+
+    def __add__(self, other) -> "LinearCombination":
+        return LinearCombination(self.label, self._merged(other, 1))
+
+    def __iadd__(self, other) -> "LinearCombination":
+        self.terms = self._merged(other, 1)
+        return self
+
+    def __sub__(self, other) -> "LinearCombination":
+        return LinearCombination(self.label, self._merged(other, -1))
+
+    def __isub__(self, other) -> "LinearCombination":
+        self.terms = self._merged(other, -1)
+        return self
+
+    def __mul__(self, k: int) -> "LinearCombination":
+        return LinearCombination(
+            self.label, [(c * int(k), t) for c, t in self.terms]
+        )
+
+    __rmul__ = __mul__
+
+    def __neg__(self) -> "LinearCombination":
+        return self * -1
+
+
+class LCTerm:
+    """data_structures.rs:226-285: One | PolyLabel — here the string 'one'
+    or any other string as a polynomial label."""
+
+    ONE = "one"
+
+
+def _as_term(t):
+    """Coerce 'label' | (coeff, 'label') | (coeff, LCTerm.ONE) to a pair."""
+    if isinstance(t, str):
+        return (1, t)
+    c, lbl = t
+    return (int(c), lbl)
+
+
+@dataclasses.dataclass
+class BatchLCProof:
+    """data_structures.rs:98-103: the proof of a batch of LC openings plus
+    (for schemes whose check needs them) the constituent poly evaluations.
+    Iterable for backward compatibility with the older (proofs, evals)
+    tuple convention."""
+
+    proof: Any
+    evals: Optional[dict] = None
+
+    def __iter__(self):
+        return iter((self.proof, self.evals))
 
 
 # QuerySet: {(poly_label, (point_label, point_int_or_tuple))} (lib.rs:152)
@@ -377,12 +458,15 @@ class PolynomialCommitment:
         proofs, _ = cls.batch_open(
             ck, polynomials, commitments, poly_query_set, sponge, states, rng
         )
-        return (proofs, poly_evals)
+        return BatchLCProof(proof=proofs, evals=poly_evals)
 
     @classmethod
     def check_combinations(cls, vk, linear_combinations, commitments, eqn_query_set,
                            eqn_evaluations, proof_and_evals, sponge):
-        """lib.rs:489-576 default: check LC values then verify constituents."""
+        """lib.rs:489-576 default: check LC values then verify constituents.
+
+        ``proof_and_evals``: a BatchLCProof (or legacy (proofs, evals) pair).
+        """
         proofs, poly_evals = proof_and_evals
         lcs = {lc.label: lc for lc in linear_combinations}
         p = cls.spec.modulus

@@ -332,14 +332,30 @@ class HyraxPC(PolynomialCommitment):
 
 def _commit_rows(ck, mat: jnp.ndarray, rand_mont: jnp.ndarray):
     """All row commitments: one vmapped Pippenger MSM over the row axis,
-    plus the hiding column h * r via batched fixed-base mul."""
+    plus the hiding column h * r via batched fixed-base mul. Under an
+    active mesh the ROW axis is sharded across devices (the DP analogue of
+    the reference's rayon per-row loop, hyrax/mod.rs:233-242)."""
+    from ..parallel import mesh as PM
+
     dim = mat.shape[0]
     plain_rows = F.from_mont(SPEC, mat)  # (dim, dim, L) plain scalars
 
-    def one_row(row_scalars):
-        return M.msm(GROUP, row_scalars, ck.com_key, assume_distinct=True)
+    active = PM.active_mesh()
+    n_dev = (
+        dict(zip(active[0].axis_names, active[0].devices.shape))[active[1]]
+        if active is not None
+        else 1
+    )
+    if active is not None and dim % n_dev == 0:
+        mesh, axis = active
+        row_pts = PM.batch_msm_sharded(
+            GROUP, plain_rows, ck.com_key, mesh, axis, assume_distinct=True
+        )
+    else:
+        def one_row(row_scalars):
+            return M.msm(GROUP, row_scalars, ck.com_key, assume_distinct=True)
 
-    row_pts = jax.vmap(one_row)(plain_rows)  # projective, batch (dim,)
+        row_pts = jax.vmap(one_row)(plain_rows)  # projective, batch (dim,)
     # hiding terms: r_i * h (batched fixed-base mul)
     h_dev = GROUP.from_affine(
         *(a[0] for a in C.affine_from_ints(GROUP, [(ck.h[0], ck.h[1], False)]))

@@ -279,11 +279,15 @@ def open(powers: Powers, coeffs: jnp.ndarray, point_int: int, rand: Randomness,
 @traced("KZG10::check")
 def check(vk: VerifierKey, comm: Commitment, point_int: int, value_int: int,
           proof: Proof, ctx: CurveCtx = CTX_BLS12_381) -> bool:
-    """e(C - v g - rv gamma_g, h) == e(w, beta_h - z h) (kzg10/mod.rs:314-333).
+    """e(C - v g - rv gamma_g + z w, h) * e(-w, beta_h) == 1
+    (kzg10/mod.rs:314-333, rearranged like the reference so BOTH G2 points
+    are the fixed vk elements and their Miller-loop line coefficients are
+    precomputed once per key — PreparedVerifierKey,
+    kzg10/data_structures.rs:285-312).
 
     Verifier-side: a handful of points, host-int EC math + host pairing
     (device pairing kernels on TPU for 381 via the ctx dispatch)."""
-    hg1, hg2 = ctx.hg1, ctx.hg2
+    hg1 = ctx.hg1
     from ..core import hostec
 
     c_h = hostec.triple_to_host(comm.point)
@@ -293,13 +297,11 @@ def check(vk: VerifierKey, comm: Commitment, point_int: int, value_int: int,
             adj, hg1.mul(hostec.triple_to_host(_vk_host(vk, "gamma_g", ctx)), proof.random_v)
         )
     w = hostec.triple_to_host(proof.w)
-    h_h = hostec.triple_to_host(_vk_host(vk, "h", ctx))
-    bh_h = hostec.triple_to_host(_vk_host(vk, "beta_h", ctx))
-    rhs_g2 = hg2.sub(bh_h, hg2.mul(h_h, point_int))
-    fq2 = True
+    adj = hg1.add(adj, hg1.mul(w, point_int) if w else None)
     return ctx.pairing_product_is_one(
         [hostec.host_to_triple(adj), hostec.host_to_triple(hg1.neg(w) if w else None)],
-        [hostec.host_to_triple(h_h, fq2), hostec.host_to_triple(rhs_g2, fq2)],
+        [_vk_host(vk, "h", ctx), _vk_host(vk, "beta_h", ctx)],
+        prepared=[_vk_prepared(vk, "h", ctx), _vk_prepared(vk, "beta_h", ctx)],
     )
 
 
@@ -342,6 +344,7 @@ def batch_check(vk: VerifierKey, comms, points, values, proofs, rng: HostRng,
         [device_point_to_ints(g1, total_c),
          device_point_to_ints(g1, g1.neg(total_w))],
         [_vk_host(vk, "h", ctx), _vk_host(vk, "beta_h", ctx)],
+        prepared=[_vk_prepared(vk, "h", ctx), _vk_prepared(vk, "beta_h", ctx)],
     )
 
 
@@ -354,6 +357,20 @@ def _first(aff_batch, group=None):
     group = group or G1
     x, y, inf = aff_batch
     return group.from_affine(x[0], y[0], inf[0])
+
+
+def _vk_prepared(vk, name: str, ctx: CurveCtx = CTX_BLS12_381):
+    """Cached G2 line-coefficient precomputation for a vk element — the
+    PreparedVerifierKey analogue (kzg10/data_structures.rs:285-312).
+    Derived, never persisted: rebuilt on first use after load, matching the
+    reference's recompute-on-deserialize split (data_structures.rs:95-96)."""
+    cache = getattr(vk, "_prep_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(vk, "_prep_cache", cache)
+    if name not in cache:
+        cache[name] = ctx.prepare_g2(_vk_host(vk, name, ctx))
+    return cache[name]
 
 
 def _vk_host(vk, name: str, ctx: CurveCtx = CTX_BLS12_381):

@@ -58,11 +58,37 @@ class LigeroPCParams:
 
 def _rs_encode_rows(mat: jnp.ndarray, ck: LigeroPCParams) -> jnp.ndarray:
     """RS = batched NTT over the smallest 2^k >= m * rho_inv
-    (linear_codes/utils.rs:112-127)."""
+    (linear_codes/utils.rs:112-127).
+
+    Dispatch: limbs-first fused tier (core/ntt_lf — one Pallas launch per
+    butterfly stage across ALL rows) on TPU; row-sharded across an active
+    mesh (DP over the matrix rows, SURVEY §2.5); portable kernel otherwise.
+    """
+    import jax
+    import numpy as np
+
     m = mat.shape[-2]
     ext = 1 << max(1, (m * ck.rho_inv - 1).bit_length())
     pad = [(0, 0)] * (mat.ndim - 2) + [(0, ext - m), (0, 0)]
-    return NTT.ntt(ck.spec, jnp.pad(mat, pad))
+    padded = jnp.pad(mat, pad)
+
+    from ...parallel import mesh as PM
+
+    active = PM.active_mesh()
+    if active is not None and padded.ndim == 3:
+        mesh, axis = active
+        n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+        if padded.shape[0] % n_dev == 0:
+            return PM.batch_ntt_sharded(ck.spec, padded, mesh, axis)
+
+    if jax.default_backend() == "tpu" and padded.ndim >= 2:
+        from ...core import ff, ntt_lf
+
+        batch = int(np.prod(padded.shape[:-1])) // ext
+        lf = ff.from_field_last(padded)  # (L, batch*ext), block-contiguous
+        out = ff.canonicalize(ck.spec, ntt_lf.ntt(ck.spec, lf, rows=batch))
+        return ff.to_field_last(out, padded.shape[:-1])
+    return NTT.ntt(ck.spec, padded)
 
 
 class UnivariateLigeroCode:

@@ -276,22 +276,20 @@ class MarlinKZG10(PolynomialCommitment):
         random_v = proof.random_v
 
         if enforce:
-            from ..core import msm as M
-
             g1 = cls.CTX.g1
             sp_all = ck.shifted_powers_for(None)
-            w_pt = M.msm_mont(
-                g1, shifted_w,
-                tuple(a[: shifted_w.shape[0]] for a in sp_all),
-                assume_distinct=True,
+            # through _srs_msm: mesh-sharded under use_mesh (SURVEY §2.5 TP
+            # row), padded to the key size so the MSM shape is key-stable
+            sp_size = int(sp_all[0].shape[0])
+            w_pt = kzg10._srs_msm(
+                kzg10._pad_to(shifted_w, sp_size), sp_all, ctx=cls.CTX
             )
             if shifted_r_witness is not None:
-                hw = M.msm_mont(
-                    g1,
-                    shifted_r_witness,
-                    tuple(
-                        a[: shifted_r_witness.shape[0]] for a in ck.powers_of_gamma_g
-                    ),
+                ng = int(ck.powers_of_gamma_g[0].shape[0])
+                hw = kzg10._srs_msm(
+                    kzg10._pad_to(shifted_r_witness, ng),
+                    ck.powers_of_gamma_g,
+                    ctx=cls.CTX,
                 )
                 w_pt = g1.add(w_pt, hw)
             from ..core.serialize import device_point_to_ints

@@ -54,7 +54,9 @@ def enable_compile_cache(cpu: bool | None = None) -> str:
     path = cache_dir(cpu)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERY compile: the 1-core eval box re-pays thousands of
+        # sub-second EC-op jits per cold run otherwise (round-3 lesson)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass

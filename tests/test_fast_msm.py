@@ -81,6 +81,7 @@ def test_ec_lf_ops(rng):
     ]
 
 
+@pytest.mark.slow  # CPU-eager kernel fallback: minutes of dispatch storm
 def test_fast_msm_matches_reference(rng):
     from poly_commit_tpu.core import msm_tpu
 
@@ -108,6 +109,7 @@ def test_fast_msm_matches_reference(rng):
     assert got == exp
 
 
+@pytest.mark.slow  # CPU-eager kernel fallback: minutes of dispatch storm
 def test_fast_msm_assume_distinct(rng):
     """assume_distinct path (branch-reduced madd) on DL-independent bases."""
     from poly_commit_tpu.core import msm_tpu
@@ -191,6 +193,7 @@ def test_fast_fixed_base_host_path(rng, monkeypatch):
     assert got == [REF.mul(GEN, s) for s in scal]
 
 
+@pytest.mark.slow  # CPU-eager kernel fallback: minutes of dispatch storm
 def test_fast_fixed_base_device_kernel(rng):
     """msm_tpu.fixed_base called directly (its CPU-eager branch mirrors the
     TPU table path) vs reference double-and-add — covers the windowed-table

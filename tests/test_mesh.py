@@ -51,11 +51,17 @@ def test_msm_sharded_with_padding(rng):
     assert bool(np.asarray(G1.eq(single, sharded)))
 
 
+@pytest.mark.slow
 def test_msm_sharded_fast_path(rng, monkeypatch):
     """The limbs-first fast kernel (core/msm_tpu) under shard_map — the
     actual TPU multi-chip hot path. POLY_COMMIT_FAST_MSM=1 forces its
     pure-JAX fallback on the CPU mesh; the traced branch exercises
-    _fold_device/_combine_sw_device exactly as on hardware."""
+    _fold_device/_combine_sw_device exactly as on hardware.
+
+    slow: under the shard_map trace the CPU fallback's eager EC ops become
+    one giant unrolled XLA:CPU module (>20 min, ~15 GB compile RSS on the
+    1-core box). Covered by opt-in RUN_SLOW=1 runs and by the real-TPU
+    bench, which exercises the same traced branch on hardware."""
     monkeypatch.setenv("POLY_COMMIT_FAST_MSM", "1")
     n = 16
     mesh = PM.make_mesh(4)
@@ -90,6 +96,48 @@ def test_kzg_commit_under_mesh_bit_identical(rng):
         p1 = kzg10.open(powers, coeffs, z, r1)
     assert c0.point == c1.point
     assert p0.w == p1.w and p0.random_v == p1.random_v
+
+
+def test_hyrax_commit_under_mesh_bit_identical(rng):
+    """Hyrax row commits shard the row axis under use_mesh; commitments
+    must equal single-chip (hyrax/mod.rs:233-242's rayon loop analogue)."""
+    from poly_commit_tpu.pcs.data_structures import HostRng, LabeledPolynomial
+    from poly_commit_tpu.pcs.hyrax import HyraxPC
+
+    hr = HostRng(31)
+    nv = 4
+    pp = HyraxPC.setup(0, num_vars=nv, rng=hr)
+    ck, _ = HyraxPC.trim(pp, 0)
+    evals = F.from_ints(HyraxPC.spec, hr.field_ints(HyraxPC.spec, 1 << nv))
+    poly = LabeledPolynomial("f", evals, num_vars=nv)
+    c0, _ = HyraxPC.commit(ck, [poly], HostRng(3))
+    mesh = PM.make_mesh(4)
+    with PM.use_mesh(mesh):
+        c1, _ = HyraxPC.commit(ck, [poly], HostRng(3))
+    assert c0[0].commitment.row_coms == c1[0].commitment.row_coms
+
+
+def test_ligero_encode_under_mesh_bit_identical(rng):
+    """Ligero RS-encode shards the matrix rows under use_mesh; the encoded
+    matrix (and hence the Merkle root) must equal single-chip."""
+    import jax.numpy as jnp
+
+    from poly_commit_tpu.pcs.linear_codes.ligero import (
+        LigeroPCParams,
+        _rs_encode_rows,
+    )
+
+    spec = FP.FR_BLS12_381
+    ck = LigeroPCParams(spec=spec, sec_param=128, rho_inv=4,
+                        check_well_formedness=True)
+    mat = F.from_ints(
+        spec, [int(x) for x in rng.integers(0, 1 << 60, size=16)]
+    ).reshape(4, 4, spec.n_limbs)
+    single = _rs_encode_rows(mat, ck)
+    mesh = PM.make_mesh(4)
+    with PM.use_mesh(mesh):
+        sharded = _rs_encode_rows(mat, ck)
+    assert np.array_equal(np.asarray(single), np.asarray(sharded))
 
 
 def test_ntt_sharded_matches_single(rng):
