@@ -460,11 +460,24 @@ class MarlinPST13(PolynomialCommitment):
         return combined, combined_value
 
     @classmethod
+    def _vk_prepared(cls, vk, key, triple):
+        """Per-vk cached G2 line precomputation (the reference's
+        prepared_h / prepared_beta_h, marlin_pst13_pc/data_structures.rs)."""
+        cache = getattr(vk, "_prep_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(vk, "_prep_cache", cache)
+        if key not in cache:
+            cache[key] = cls.CTX.prepare_g2(triple)
+        return cache[key]
+
+    @classmethod
     @traced("MarlinPST13::check")
     def check(cls, vk, commitments, point, values, proof, sponge):
-        """e(C - v g - rv gamma_g, h) = prod_j e(w_j, beta_j h - z_j h)
-        (mod.rs:516-558)."""
-        hg1, hg2 = cls.CTX.hg1, cls.CTX.hg2
+        """e(C - v g - rv gamma_g + sum_j z_j w_j, h) *
+        prod_j e(-w_j, beta_j h) == 1  (mod.rs:516-558, rearranged so every
+        G2 point is a fixed vk element with precomputed Miller lines)."""
+        hg1 = cls.CTX.hg1
         p = cls.CTX.spec.modulus
         combined, combined_value = cls._accumulate(vk, commitments, values, sponge)
         inner = hg1.sub(combined, hg1.mul(hostec.triple_to_host(vk.g), combined_value))
@@ -472,18 +485,18 @@ class MarlinPST13(PolynomialCommitment):
             inner = hg1.sub(
                 inner, hg1.mul(hostec.triple_to_host(vk.gamma_g), proof.random_v)
             )
+        for j in range(vk.num_vars):
+            wj = hostec.triple_to_host(proof.w[j])
+            inner = hg1.add(inner, hg1.mul(wj, int(point[j]) % p))
         g1s = [hostec.host_to_triple(inner)]
         g2s = [vk.h]
+        prepared = [cls._vk_prepared(vk, "h", vk.h)]
         for j in range(vk.num_vars):
-            zj = int(point[j]) % p
-            bmz = hg2.sub(
-                hostec.triple_to_host(vk.beta_h[j]),
-                hg2.mul(hostec.triple_to_host(vk.h), zj),
-            )
             wj = hostec.triple_to_host(proof.w[j])
             g1s.append(hostec.host_to_triple(hg1.neg(wj)))
-            g2s.append(hostec.host_to_triple(bmz, fq2=True))
-        return cls.CTX.pairing_product_is_one(g1s, g2s)
+            g2s.append(vk.beta_h[j])
+            prepared.append(cls._vk_prepared(vk, ("beta_h", j), vk.beta_h[j]))
+        return cls.CTX.pairing_product_is_one(g1s, g2s, prepared=prepared)
 
     @classmethod
     @traced("MarlinPST13::batch_check")
@@ -532,12 +545,15 @@ class MarlinPST13(PolynomialCommitment):
         )
         g1s = []
         g2s = []
+        prepared = []
         for j in range(vk.num_vars):
             g1s.append(hostec.host_to_triple(hg1.neg(total_w[j])))
             g2s.append(vk.beta_h[j])
+            prepared.append(cls._vk_prepared(vk, ("beta_h", j), vk.beta_h[j]))
         g1s.append(hostec.host_to_triple(total_c))
         g2s.append(vk.h)
-        return cls.CTX.pairing_product_is_one(g1s, g2s)
+        prepared.append(cls._vk_prepared(vk, "h", vk.h))
+        return cls.CTX.pairing_product_is_one(g1s, g2s, prepared=prepared)
 
 
 class MarlinPST13_BLS12_377(MarlinPST13):

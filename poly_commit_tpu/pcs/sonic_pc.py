@@ -259,20 +259,36 @@ class SonicKZG10(PolynomialCommitment):
         acc["adjusted"] = hg1.add(acc["adjusted"], adjusted)
 
     @classmethod
+    def _vk_prepared(cls, vk, key, triple):
+        """Per-vk cached G2 line precomputation — the reference prepares
+        exactly these elements (sonic data_structures.rs:164 get_shift_power
+        -> G2Prepared; kzg10/data_structures.rs:285-312)."""
+        cache = getattr(vk, "_prep_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(vk, "_prep_cache", cache)
+        if key not in cache:
+            cache[key] = cls.CTX.prepare_g2(triple)
+        return cache[key]
+
+    @classmethod
     def _check_elems(cls, acc, vk) -> bool:
-        g1s, g2s = [], []
+        g1s, g2s, prepared = [], [], []
         for bound in sorted(acc["comms"], key=lambda b: (b is not None, b)):
             shift_power = vk.get_shift_power(bound)
             if shift_power is None:
                 raise errors.UnsupportedDegreeBound(bound)
             g1s.append(hostec.host_to_triple(acc["comms"][bound]))
             g2s.append(shift_power)
+            prepared.append(cls._vk_prepared(vk, ("shift", bound), shift_power))
         hg1 = cls.CTX.hg1
         g1s.append(hostec.host_to_triple(hg1.neg(acc["adjusted"])))
         g2s.append(vk.h)
+        prepared.append(cls._vk_prepared(vk, "h", vk.h))
         g1s.append(hostec.host_to_triple(hg1.neg(acc["witness"])))
         g2s.append(vk.beta_h)
-        return cls.CTX.pairing_product_is_one(g1s, g2s)
+        prepared.append(cls._vk_prepared(vk, "beta_h", vk.beta_h))
+        return cls.CTX.pairing_product_is_one(g1s, g2s, prepared=prepared)
 
     @classmethod
     @traced("SonicKZG10::check")
