@@ -237,24 +237,81 @@ def ff_one_rows(spec, shape):
     return [jnp.full(shape, int(v), jnp.uint32) for v in r_l]
 
 
+def _ed_k2d_rows(spec, shape):
+    """2d (Montgomery) broadcast rows for the a=-1 JubJub formulas."""
+    from . import field_params as FP
+
+    k2d = (2 * FP.JUBJUB_D) % spec.modulus * spec.R % spec.modulus
+    limbs = FP.int_to_limbs(k2d, spec.n_limbs)
+    return [jnp.full(shape, int(v), jnp.uint32) for v in limbs]
+
+
+def _formula_ed_madd(spec, rows_in):
+    """Extended twisted Edwards a=-1 mixed add (add-2008-hwcd-3, Z2=1):
+    COMPLETE on the prime-order subgroup — no branches, identity included.
+    Inputs: x1, y1, z1, t1, x2, y2 (t2 = x2*y2 in-kernel). ~9M."""
+    x1, y1, z1, t1, x2, y2 = rows_in
+    mul = lambda a, b: ff._mont_mul_rows(spec, a, b)
+    add = lambda a, b: ff._add_rows(spec, a, b)
+    sub = lambda a, b: ff._sub_rows(spec, a, b)
+
+    t2 = mul(x2, y2)
+    a = mul(sub(y1, x1), sub(y2, x2))
+    b = mul(add(y1, x1), add(y2, x2))
+    c = mul(mul(t1, _ed_k2d_rows(spec, x1[0].shape)), t2)
+    d = add(z1, z1)
+    e = sub(b, a)
+    f = sub(d, c)
+    g = add(d, c)
+    h = add(b, a)
+    return mul(e, f) + mul(g, h) + mul(f, g) + mul(e, h)  # X3 Y3 Z3 T3
+
+
+def _formula_ed_add(spec, rows_in):
+    """Extended twisted Edwards a=-1 full add (add-2008-hwcd-3). ~10M."""
+    x1, y1, z1, t1, x2, y2, z2, t2 = rows_in
+    mul = lambda a, b: ff._mont_mul_rows(spec, a, b)
+    add = lambda a, b: ff._add_rows(spec, a, b)
+    sub = lambda a, b: ff._sub_rows(spec, a, b)
+
+    a = mul(sub(y1, x1), sub(y2, x2))
+    b = mul(add(y1, x1), add(y2, x2))
+    c = mul(mul(t1, _ed_k2d_rows(spec, x1[0].shape)), t2)
+    zz = mul(z1, z2)
+    d = add(zz, zz)
+    e = sub(b, a)
+    f = sub(d, c)
+    g = add(d, c)
+    h = add(b, a)
+    return mul(e, f) + mul(g, h) + mul(f, g) + mul(e, h)
+
+
+def _formula_ed_double(spec, rows_in):
+    return _formula_ed_add(spec, rows_in + rows_in)
+
+
 _FORMULAS = {
-    "madd": (_formula_madd, 5),
-    "madd_distinct": (_formula_madd_distinct, 5),
-    "add": (_formula_add, 6),
-    "double": (_formula_double, 3),
+    # name: (builder, n_in_coords, n_out_coords)
+    "madd": (_formula_madd, 5, 3),
+    "madd_distinct": (_formula_madd_distinct, 5, 3),
+    "add": (_formula_add, 6, 3),
+    "double": (_formula_double, 3, 3),
+    "ed_madd": (_formula_ed_madd, 6, 4),
+    "ed_add": (_formula_ed_add, 8, 4),
+    "ed_double": (_formula_ed_double, 4, 4),
 }
 
 
 @functools.lru_cache(maxsize=64)
 def _ec_fn(spec: FieldSpec, which: str, n: int, use_pallas: bool):
-    builder, n_in = _FORMULAS[which]
+    builder, n_in, n_out = _FORMULAS[which]
     L = spec.n_limbs
 
     def graph(*coords):
         rows_in = [ff._rows(c) for c in coords]
         out_rows = builder(spec, rows_in)
         outs = []
-        for k in range(3):
+        for k in range(n_out):
             outs.append(jnp.stack(out_rows[k * L : (k + 1) * L], 0))
         return tuple(outs)
 
@@ -281,11 +338,11 @@ def _ec_fn(spec: FieldSpec, which: str, n: int, use_pallas: bool):
         return pl.pallas_call(
             kernel,
             out_shape=tuple(
-                jax.ShapeDtypeStruct((L, n), jnp.uint32) for _ in range(3)
+                jax.ShapeDtypeStruct((L, n), jnp.uint32) for _ in range(n_out)
             ),
             grid=(grid,),
             in_specs=[pl.BlockSpec((L, tile), lambda i: (0, i))] * n_in,
-            out_specs=tuple(pl.BlockSpec((L, tile), lambda i: (0, i)) for _ in range(3)),
+            out_specs=tuple(pl.BlockSpec((L, tile), lambda i: (0, i)) for _ in range(n_out)),
         )(*coords)
 
     return jax.jit(run)
@@ -351,3 +408,49 @@ def neg(spec, p):
     """-(x, y, z): negate y (valid for values < 2p via 2p - y)."""
     x, y, z = p
     return (x, ff.sub(spec, jnp.zeros_like(y), y), z)
+
+
+# -- extended twisted Edwards a=-1 (JubJub over Fr-381) ----------------------
+# points are (x, y, z, t) tuples of (L, N) limbs; identity (0, 1, 1, 0);
+# the unified addition is COMPLETE on the prime-order subgroup (no branch
+# selects at all — cheaper per op than the Weierstrass kernels).
+
+
+def ed_madd(spec, p, xq, yq):
+    return _dispatch(spec, "ed_madd", p[0], p[1], p[2], p[3], xq, yq)
+
+
+def ed_add(spec, p, q):
+    return _dispatch(
+        spec, "ed_add", p[0], p[1], p[2], p[3], q[0], q[1], q[2], q[3]
+    )
+
+
+def ed_double(spec, p):
+    return _dispatch(spec, "ed_double", p[0], p[1], p[2], p[3])
+
+
+def ed_infinity(spec, n: int):
+    return (
+        ff.zeros(spec, n),
+        ff.one_mont(spec, n),
+        ff.one_mont(spec, n),
+        ff.zeros(spec, n),
+    )
+
+
+def ed_from_affine(spec, x, y, inf_mask=None):
+    n = x.shape[1]
+    t = ff.mont_mul(spec, x, y)
+    z = ff.one_mont(spec, n)
+    if inf_mask is not None:
+        x = ff.select(inf_mask, ff.zeros(spec, n), x)
+        y = ff.select(inf_mask, ff.one_mont(spec, n), y)
+        t = ff.select(inf_mask, ff.zeros(spec, n), t)
+    return (x, y, z, t)
+
+
+def ed_neg(spec, p):
+    x, y, z, t = p
+    zero = jnp.zeros_like(x)
+    return (ff.sub(spec, zero, x), y, z, ff.sub(spec, zero, t))

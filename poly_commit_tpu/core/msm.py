@@ -83,11 +83,21 @@ def _double_n(group, p, n: int):
 
 
 def _fast_path_ok(group) -> bool:
-    """Limbs-first Pallas path: prime-field Weierstrass curves with R >= 4p,
-    on TPU (or when POLY_COMMIT_FAST_MSM=1 forces the pure-JAX fallback of
-    the same kernels, e.g. for CPU tests)."""
+    """Limbs-first Pallas path: prime-field Weierstrass curves with R >= 4p
+    (BLS12-381/377 G1, BN254 G1) and the JubJub Edwards curve (complete
+    extended-coordinate kernels; its Fr-381 base field uses the ff tier's
+    post-reduce since R < 4p), on TPU (or when POLY_COMMIT_FAST_MSM=1
+    forces the pure-JAX fallback of the same kernels, e.g. for CPU tests)."""
     import os
 
+    def env_or_tpu():
+        env = os.environ.get("POLY_COMMIT_FAST_MSM")
+        if env is not None:
+            return env not in ("0", "false")
+        return jax.default_backend() == "tpu"
+
+    if group.__class__.__name__ == "EdwardsGroup":
+        return group.name == "jubjub" and env_or_tpu()
     if group.__class__.__name__ != "WeierstrassGroup":
         return False
     if getattr(group.fops, "elem_ndim", 0) != 1:
@@ -96,10 +106,7 @@ def _fast_path_ok(group) -> bool:
     if 4 * spec.modulus > spec.R:
         return False  # ff supports these with post-reduce, but the MSM path
         # only targets the pairing-curve base fields today
-    env = os.environ.get("POLY_COMMIT_FAST_MSM")
-    if env is not None:
-        return env not in ("0", "false")
-    return jax.default_backend() == "tpu"
+    return env_or_tpu()
 
 
 def _host_ec_enabled() -> bool:
@@ -215,6 +222,11 @@ def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | 
         from . import msm_tpu
 
         spec = group.fops.spec
+        ops = (
+            msm_tpu.EDWARDS_OPS
+            if group.__class__.__name__ == "EdwardsGroup"
+            else msm_tpu.JACOBIAN_OPS
+        )
         x, y, inf = points
         out = msm_tpu.msm(
             spec,
@@ -223,6 +235,7 @@ def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | 
             ff.from_field_last(y),
             inf,
             assume_distinct,
+            ops,
         )
         # ff keeps values in [0, 2p); downstream field.py assumes < p
         return tuple(ff.canonicalize(spec, cc)[:, 0] for cc in out)
@@ -408,7 +421,7 @@ def fixed_base_mul(group, base, scalars: jnp.ndarray):
     the host."""
     if _host_ec_enabled() and not _any_tracer(scalars, *base):
         return _fixed_base_host(group, base, scalars)
-    if _fast_path_ok(group):
+    if _fast_path_ok(group) and group.__class__.__name__ == "WeierstrassGroup":
         if jax.default_backend() == "tpu":
             from . import ff
             from . import msm_tpu

@@ -38,6 +38,89 @@ from .field_params import FieldSpec
 SCALAR_BITS = 256
 
 
+class JACOBIAN_OPS:
+    """Weierstrass group law (Jacobian, 3 coords) — the SRS/G1 path."""
+
+    n_coords = 3
+
+    @staticmethod
+    def madd(spec, p, px, py, distinct: bool):
+        return (EC.madd_distinct if distinct else EC.madd)(spec, p, px, py)
+
+    add = staticmethod(EC.add)
+    double = staticmethod(EC.double)
+    infinity = staticmethod(EC.infinity)
+    select = staticmethod(EC.select)
+
+    @staticmethod
+    def to_host(spec, coords):
+        return _to_host_pts(spec, coords)
+
+    @staticmethod
+    def host_group(spec):
+        return _host_group_for(spec)
+
+    neg = staticmethod(EC.neg)
+    host_identity = None
+
+    @staticmethod
+    def from_host(spec, pt):
+        if pt is None:
+            return (ff.zeros(spec, 1), ff.one_mont(spec, 1), ff.zeros(spec, 1))
+        return (
+            ff.from_ints(spec, [pt[0]]),
+            ff.from_ints(spec, [pt[1]]),
+            ff.one_mont(spec, 1),
+        )
+
+
+class EDWARDS_OPS:
+    """Extended twisted Edwards a=-1 (JubJub, 4 coords). The unified add
+    is COMPLETE, so madd ignores assume_distinct and needs no selects —
+    the per-op kernel is ~9M with zero branch overhead."""
+
+    n_coords = 4
+
+    @staticmethod
+    def madd(spec, p, px, py, distinct: bool):
+        return EC.ed_madd(spec, p, px, py)
+
+    add = staticmethod(EC.ed_add)
+    double = staticmethod(EC.ed_double)
+    infinity = staticmethod(EC.ed_infinity)
+    select = staticmethod(EC.select)
+
+    @staticmethod
+    def to_host(spec, coords):
+        p = spec.modulus
+        xs = ff.to_ints(spec, coords[0])
+        ys = ff.to_ints(spec, coords[1])
+        zs = ff.to_ints(spec, coords[2])
+        pts = []
+        for xm, ym, zm in zip(xs, ys, zs):
+            zi = pow(zm % p, -1, p)
+            pts.append((xm * zi % p, ym * zi % p))
+        return pts
+
+    @staticmethod
+    def host_group(spec):
+        from . import field_params as FP
+        from .hostec import HostEdwards
+
+        return HostEdwards(FP.BLS12_381_R, FP.JUBJUB_D, FP.JUBJUB_R)
+
+    neg = staticmethod(EC.ed_neg)
+    host_identity = (0, 1)
+
+    @staticmethod
+    def from_host(spec, pt):
+        if pt is None:
+            pt = (0, 1)
+        x = ff.from_ints(spec, [pt[0]])
+        y = ff.from_ints(spec, [pt[1]])
+        return (x, y, ff.one_mont(spec, 1), ff.mont_mul(spec, x, y))
+
+
 def C_BITS() -> int:
     """Window bits (SCALAR_BITS/C windows; 16 % C == 0). 16 on TPU; 8 on
     the pure-JAX CPU fallback, where the 2^16-bucket tree-sum would inline
@@ -58,29 +141,74 @@ def _digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(outs, axis=0)
 
 
-def _sort_by_digit(digs: jnp.ndarray):
-    """Stable sort of each window's 16-bit digits; returns (order, sorted).
+def _bitonic_argsort(keys: jnp.ndarray):
+    """(W, N) u32 keys (N a power of two) -> (order, sorted_keys) via a
+    jnp-level bitonic network.
 
-    argsort lowers to a comparator sort (~1.7s at 2^20x16 on TPU — as
-    expensive as the whole EC scan). The opt-in alternative is a radix-256
-    counting sort: per pass, rank-among-equals comes from a cumsum over
-    the one-hot bucket matrix and the permutation is materialized with ONE
-    unique-index scatter of int32 (the only scatter in the MSM).
+    XLA:TPU's sort primitive runs ~30x off the HBM roofline (measured
+    1.9 s for 16 x 2^20 u32); the bitonic network is log^2(N)/2 stages of
+    pure fused elementwise compare-exchanges (~6 vector ops each), which
+    XLA executes at bandwidth. Not stable — Pippenger needs bucket
+    GROUPING, not ordering, so equal-digit order is irrelevant.
+    """
+    w, n = keys.shape
+    logn = n.bit_length() - 1
+    assert 1 << logn == n
+    idx = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, n), 1), (w, n)
+    )
+    k = keys
+    for kk in range(1, logn + 1):
+        for j in range(kk - 1, -1, -1):
+            stride = 1 << j
+            m = n // (2 * stride)
+            # direction per compare-block: position p = outer*2*stride + ...;
+            # run direction flips with bit kk of p (both partners agree)
+            if kk == logn:
+                desc = None  # final merge: all ascending
+            else:
+                outer = np.arange(m, dtype=np.int64) * (2 * stride)
+                desc = jnp.asarray(
+                    ((outer >> kk) & 1).astype(np.bool_)
+                ).reshape(1, m, 1)
+            ks = k.reshape(w, m, 2, stride)
+            ix = idx.reshape(w, m, 2, stride)
+            ka, kb = ks[:, :, 0], ks[:, :, 1]
+            ia, ib = ix[:, :, 0], ix[:, :, 1]
+            swap = ka > kb
+            if desc is not None:
+                swap = swap ^ desc
+            new_ka = jnp.where(swap, kb, ka)
+            new_kb = jnp.where(swap, ka, kb)
+            new_ia = jnp.where(swap, ib, ia)
+            new_ib = jnp.where(swap, ia, ib)
+            k = jnp.stack([new_ka, new_kb], axis=2).reshape(w, n)
+            idx = jnp.stack([new_ia, new_ib], axis=2).reshape(w, n)
+    return idx, k
+
+
+def _sort_by_digit(digs: jnp.ndarray):
+    """Sort of each window's 16-bit digits; returns (order, sorted).
+
+    Default: XLA's comparator sort (1.9 s at 2^20x16 on TPU — the single
+    largest MSM stage). Measured alternatives, kept opt-in for reference:
+    POLY_COMMIT_BITONIC=1 (jnp bitonic network, 3.1 s — the small-stride
+    phases force lane-crossing relayouts; would need in-VMEM Pallas
+    phases to win) and POLY_COMMIT_RADIX_SORT=1 (counting sort, ~2x
+    slower — TPU scatters don't batch: 4 s for 16 batched 2^20 scatters).
     """
     import os
 
     w_count, n = digs.shape
+    if jax.default_backend() == "tpu" and (n & (n - 1)) == 0 and (
+        os.environ.get("POLY_COMMIT_BITONIC", "0") not in ("0", "false")
+    ) and os.environ.get("POLY_COMMIT_RADIX_SORT", "0") in ("0", "false"):
+        return _bitonic_argsort(digs)
     if (
         jax.default_backend() != "tpu"
         or os.environ.get("POLY_COMMIT_RADIX_SORT", "0") in ("0", "false")
     ):
-        # Default: XLA's comparator sort. The radix path below is correct
-        # (validated vs stable argsort at 2^12..2^18 and through the
-        # self-checking bench at 2^20) but 2x SLOWER end-to-end today —
-        # the (N, 256) one-hot cumsums are bandwidth-bound through HBM.
-        # It becomes the fast path once the histogram/rank stages move
-        # into a Pallas kernel (block-local in VMEM); opt in via
-        # POLY_COMMIT_RADIX_SORT=1.
+        # XLA's comparator sort (CPU fallback / opt-out path).
         order = jnp.argsort(digs, axis=1)
         return order, jnp.take_along_axis(digs, order, axis=1)
 
@@ -123,7 +251,7 @@ def _flat(pts, L, m):
 
 
 def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
-              assume_distinct: bool = False):
+              assume_distinct: bool = False, ops=JACOBIAN_OPS):
     """scalars (N, 16) plain; x/y (L, N) affine limbs; inf (N,) bool.
     Returns per-window sums S_w with coords (L, W).
 
@@ -133,18 +261,18 @@ def _msm_impl(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
     limb product (millions of HLOs, >100GB compile RSS); eager mode
     dispatches each EC op through its own small cached jit."""
     if jax.default_backend() == "tpu":
-        return _msm_impl_jit(spec, scalars, x, y, inf, assume_distinct)
-    return _msm_body(spec, scalars, x, y, inf, assume_distinct)
+        return _msm_impl_jit(spec, scalars, x, y, inf, assume_distinct, ops)
+    return _msm_body(spec, scalars, x, y, inf, assume_distinct, ops)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
 def _msm_impl_jit(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
-                  assume_distinct: bool = False):
-    return _msm_body(spec, scalars, x, y, inf, assume_distinct)
+                  assume_distinct: bool = False, ops=JACOBIAN_OPS):
+    return _msm_body(spec, scalars, x, y, inf, assume_distinct, ops)
 
 
 def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
-              assume_distinct: bool = False):
+              assume_distinct: bool = False, ops=JACOBIAN_OPS):
     c = C_BITS()
     n = scalars.shape[0]
     L = spec.n_limbs
@@ -181,37 +309,45 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
     # transposed to the kernels' limbs-first layout in-register; emitted
     # prefixes are transposed once per step so the tail gather downstream
     # reads contiguous rows too.
+    import os
+
+    gather_major = os.environ.get("POLY_COMMIT_GATHER_MAJOR", "0") not in (
+        "0", "false"
+    )
     x_last = x.T  # (N', L)
     y_last = y.T
 
     def main_body(accum, inp):
         idx, skip = inp
-        px = jnp.take(x_last, idx, axis=0).T  # (m, L) gather -> (L, m)
-        py = jnp.take(y_last, idx, axis=0).T
-        if assume_distinct:
-            added = EC.madd_distinct(spec, accum, px, py)
+        if gather_major:
+            px = jnp.take(x_last, idx, axis=0).T  # (m, L) gather -> (L, m)
+            py = jnp.take(y_last, idx, axis=0).T
         else:
-            added = EC.madd(spec, accum, px, py)
-        accum = EC.select(skip, accum, added)
-        # emit the inclusive within-lane prefix, limbs-last for the gather
-        return accum, tuple(cc.T for cc in accum)
+            px = jnp.take(x, idx, axis=1)
+            py = jnp.take(y, idx, axis=1)
+        added = ops.madd(spec, accum, px, py, assume_distinct)
+        accum = ops.select(skip, accum, added)
+        # emit the inclusive within-lane prefix (limbs-last when the major
+        # layout is on, so the tail gather reads contiguous rows)
+        emit = tuple(cc.T for cc in accum) if gather_major else accum
+        return accum, emit
 
     if jax.default_backend() == "tpu":
         lane_sums, prefixes = jax.lax.scan(
-            main_body, EC.infinity(spec, m), (idx_l, skip_l)
+            main_body, ops.infinity(spec, m), (idx_l, skip_l)
         )
     else:
         # CPU fallback: a Python loop keeps each madd an eager call
         # (lax.scan would compile the unrolled formula body — ~30min on
         # XLA:CPU). l_steps is small on CPU (t_lanes covers test sizes).
-        accum = EC.infinity(spec, m)
+        accum = ops.infinity(spec, m)
         prefs = []
         for si in range(l_steps):
             accum, out = main_body(accum, (idx_l[si], skip_l[si]))
             prefs.append(out)
         lane_sums = accum
         prefixes = tuple(
-            jnp.stack([p[k] for p in prefs], 0) for k in range(3)
+            jnp.stack([p[k] for p in prefs], 0) for k in range(ops.n_coords)
         )
     # prefixes: tuple of 3 coord arrays (S, m, L); lane_sums: coords (L, m)
 
@@ -225,15 +361,15 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
         odd = tuple(cc[:, :, 1::2] for cc in sums)
         stack.append(even)
         width //= 2
-        s = EC.add(
+        s = ops.add(
             spec, _flat(even, L, w_count * width), _flat(odd, L, w_count * width)
         )
         sums = tuple(cc.reshape(L, w_count, width) for cc in s)
-    pref = tuple(cc.reshape(L, w_count, 1) for cc in EC.infinity(spec, w_count))
+    pref = tuple(cc.reshape(L, w_count, 1) for cc in ops.infinity(spec, w_count))
     width = 1
     for lv in reversed(range(levels)):
         even_val = stack[lv]  # (L, W, width)
-        odd = EC.add(
+        odd = ops.add(
             spec,
             _flat(pref, L, w_count * width),
             _flat(even_val, L, w_count * width),
@@ -264,12 +400,18 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
     step_flat = step.reshape(-1)
     empty = (tails < 0).reshape(-1)
 
-    within = tuple(
-        cc[step_flat, lane_flat, :].T for cc in prefixes
-    )  # (S, m, L) rows are contiguous per (step, lane) -> (L, W*bsz)
-    lp_at = tuple(cc.T[lane_flat, :].T for cc in lane_pref)
-    g = EC.add(spec, within, lp_at)  # inclusive global prefix at tails
-    g = EC.select(empty, EC.infinity(spec, g[0].shape[1]), g)
+    if gather_major:
+        within = tuple(
+            cc[step_flat, lane_flat, :].T for cc in prefixes
+        )  # (S, m, L) rows contiguous per (step, lane) -> (L, W*bsz)
+        lp_at = tuple(cc.T[lane_flat, :].T for cc in lane_pref)
+    else:
+        within = tuple(
+            cc[step_flat, :, lane_flat].swapaxes(0, 1) for cc in prefixes
+        )  # (L, W*bsz)
+        lp_at = tuple(cc[:, lane_flat] for cc in lane_pref)
+    g = ops.add(spec, within, lp_at)  # inclusive global prefix at tails
+    g = ops.select(empty, ops.infinity(spec, g[0].shape[1]), g)
 
     # ---- Abel summation: S_w = B*G_B - sum_{b=0}^{B-1} G_b, B = bsz-1 ----
     # (sum_j j*(G_j - G_{j-1}) telescopes; no weighted bucket reduction)
@@ -282,7 +424,7 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
         half = mlen // 2
         a = tuple(cc[:, :, :half] for cc in cur)
         b = tuple(cc[:, :, half : 2 * half] for cc in cur)
-        s = EC.add(
+        s = ops.add(
             spec, _flat(a, L, w_count * half), _flat(b, L, w_count * half)
         )
         s = tuple(cc.reshape(L, w_count, half) for cc in s)
@@ -299,35 +441,36 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
     return g_last + sum_g  # 6 coord arrays: (x,y,z of G_B, x,y,z of sumG)
 
 
-def _combine_sw_device(spec: FieldSpec, parts):
+def _combine_sw_device(spec: FieldSpec, parts, ops=JACOBIAN_OPS):
     """S_w = B*G_B - sumG on device (B = bsz-1), then the window fold."""
     bsz = 1 << C_BITS()
-    g_last = parts[:3]
-    sum_g = parts[3:]
+    nc = ops.n_coords
+    g_last = parts[:nc]
+    sum_g = parts[nc:]
     # scalar-mul by (bsz - 1) via double-and-add over its bits
     bits = bin(bsz - 1)[2:]
-    acc = EC.infinity(spec, g_last[0].shape[1])
+    acc = ops.infinity(spec, g_last[0].shape[1])
     for bit in bits:
-        acc = EC.double(spec, acc)
+        acc = ops.double(spec, acc)
         if bit == "1":
-            acc = EC.add(spec, acc, g_last)
-    return EC.add(spec, acc, EC.neg(spec, sum_g))  # (L, W)
+            acc = ops.add(spec, acc, g_last)
+    return ops.add(spec, acc, ops.neg(spec, sum_g))  # (L, W)
 
 
-def _fold_device(spec: FieldSpec, s_w):
+def _fold_device(spec: FieldSpec, s_w, ops=JACOBIAN_OPS):
     """sum_w 2^(c*w) S_w on device (used under traces, e.g. shard_map)."""
     c = C_BITS()
-    wx, wy, wz = s_w
-    wlen = wx.shape[1]
+    cur = s_w
+    wlen = cur[0].shape[1]
     while wlen > 1:
         half = wlen // 2
-        hi = (wx[:, half:wlen], wy[:, half:wlen], wz[:, half:wlen])
+        hi = tuple(cc[:, half:wlen] for cc in cur)
         for _ in range(c * half):
-            hi = EC.double(spec, hi)
-        lo = (wx[:, :half], wy[:, :half], wz[:, :half])
-        wx, wy, wz = EC.add(spec, lo, hi)
+            hi = ops.double(spec, hi)
+        lo = tuple(cc[:, :half] for cc in cur)
+        cur = ops.add(spec, lo, hi)
         wlen = half
-    return (wx[:, :1], wy[:, :1], wz[:, :1])
+    return tuple(cc[:, :1] for cc in cur)
 
 
 def _to_host_pts(spec, coords):
@@ -346,28 +489,28 @@ def _to_host_pts(spec, coords):
     return pts
 
 
-def _fold_host(spec: FieldSpec, parts):
+def _fold_host(spec: FieldSpec, parts, ops=JACOBIAN_OPS):
     """S_w = B*G_B - sumG per window, then the Horner window fold — all on
     host ints (W points; a handful of EC ops, no tiny device launches)."""
     bsz = 1 << C_BITS()
-    grp = _host_group_for(spec)
-    g_last = _to_host_pts(spec, parts[:3])
-    sum_g = _to_host_pts(spec, parts[3:])
+    nc = ops.n_coords
+    grp = ops.host_group(spec)
+    g_last = ops.to_host(spec, parts[:nc])
+    sum_g = ops.to_host(spec, parts[nc:])
     pts = [
         grp.sub(grp.mul(gl, bsz - 1), sg) for gl, sg in zip(g_last, sum_g)
     ]
-    acc = None
+    def dbl(p):
+        if p is None:
+            return None
+        return grp.double(p) if hasattr(grp, "double") else grp.add(p, p)
+
+    acc = ops.host_identity
     for pt in reversed(pts):
         for _ in range(C_BITS()):
-            acc = grp.double(acc)
+            acc = dbl(acc)
         acc = grp.add(acc, pt)
-    if acc is None:
-        return (ff.zeros(spec, 1), ff.one_mont(spec, 1), ff.zeros(spec, 1))
-    return (
-        ff.from_ints(spec, [acc[0]]),
-        ff.from_ints(spec, [acc[1]]),
-        ff.one_mont(spec, 1),
-    )
+    return ops.from_host(spec, acc)
 
 
 def _host_group_for(spec: FieldSpec):
@@ -384,8 +527,9 @@ def _host_group_for(spec: FieldSpec):
 
 
 def msm(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
-        assume_distinct: bool = False):
-    """Pad N to a power of two (>= T) and run; returns Jacobian coords (L, 1).
+        assume_distinct: bool = False, ops=JACOBIAN_OPS):
+    """Pad N to a power of two (>= T) and run; returns the group's native
+    projective coords (L, 1) tuples (Jacobian or extended Edwards).
 
     assume_distinct: the bases are pairwise DL-independent (true for every
     SRS), enabling the branch-free madd without the doubling path — ~35%
@@ -401,12 +545,13 @@ def msm(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
     if n > chunk:
         parts = [
             msm(spec, scalars[s : s + chunk], x[:, s : s + chunk],
-                y[:, s : s + chunk], inf[s : s + chunk], assume_distinct)
+                y[:, s : s + chunk], inf[s : s + chunk], assume_distinct,
+                ops)
             for s in range(0, n, chunk)
         ]
         acc = parts[0]
         for pt in parts[1:]:
-            acc = EC.add(spec, acc, pt)
+            acc = ops.add(spec, acc, pt)
         return acc
     n2 = 1 << max(_t_lanes().bit_length() - 1, (n - 1).bit_length())
     if n2 != n:
@@ -414,12 +559,12 @@ def msm(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
         x = jnp.pad(x, ((0, 0), (0, n2 - n)))
         y = jnp.pad(y, ((0, 0), (0, n2 - n)))
         inf = jnp.pad(inf, (0, n2 - n), constant_values=True)
-    parts = _msm_impl(spec, scalars, x, y, inf, assume_distinct)
+    parts = _msm_impl(spec, scalars, x, y, inf, assume_distinct, ops)
     import jax.core
 
     if isinstance(parts[0], jax.core.Tracer):
-        return _fold_device(spec, _combine_sw_device(spec, parts))
-    return _fold_host(spec, parts)
+        return _fold_device(spec, _combine_sw_device(spec, parts, ops), ops)
+    return _fold_host(spec, parts, ops)
 
 
 # ---------------------------------------------------------------------------

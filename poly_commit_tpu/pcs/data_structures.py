@@ -300,6 +300,29 @@ def _as_term(t):
     return (int(c), lbl)
 
 
+class PCPreparedVerifierKey:
+    """data_structures.rs:53-56 — `prepare(vk)`; here preparation is the
+    cached G2 Miller-line precomputation the pairing schemes attach to
+    their verifier keys (kzg10._vk_prepared, sonic/pst13 _vk_prepared;
+    pairing_generic.prepare_g2). Derived data: rebuilt after load, never
+    persisted (utils/persist.py keeps only the raw key material)."""
+
+    @staticmethod
+    def prepare(vk):
+        return vk  # preparation is lazy + cached on the key itself
+
+
+class PCPreparedCommitment:
+    """data_structures.rs:70-73 — commitments carry no pairing-side
+    precomputation in any of the nine schemes (they sit on the G1 side),
+    so preparation is the identity, matching the reference's default
+    instantiations."""
+
+    @staticmethod
+    def prepare(comm):
+        return comm
+
+
 @dataclasses.dataclass
 class BatchLCProof:
     """data_structures.rs:98-103: the proof of a batch of LC openings plus

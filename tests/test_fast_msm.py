@@ -211,3 +211,46 @@ def test_fast_fixed_base_device_kernel(rng):
     out = msm_tpu.fixed_base(SPEC, gx, gy, jnp.asarray(sc))
     got = _to_host(out)
     assert got == [REF.mul(GEN, s) for s in scal]
+
+
+@pytest.mark.slow  # CPU-eager kernel fallback: minutes of dispatch storm
+def test_fast_msm_edwards_jubjub(rng, monkeypatch):
+    """The limbs-first extended-Edwards path (JubJub over Fr-381): complete
+    unified adds, 4-coordinate pipeline — the IPA hot-loop curve
+    (ipa_pc/mod.rs:664-711). Eager CPU fallback of the same TPU kernels."""
+    from poly_commit_tpu.core import field_params as FP
+    from poly_commit_tpu.core import hostec, msm_tpu
+
+    monkeypatch.setenv("POLY_COMMIT_FAST_MSM", "1")
+    spec = FP.FR_BLS12_381
+    hg = hostec.HostEdwards(FP.BLS12_381_R, FP.JUBJUB_D, FP.JUBJUB_R)
+    gen = (FP.JUBJUB_G_X, FP.JUBJUB_G_Y)
+    n = 40
+    ks = [int(rng.integers(1, 1 << 30)) for _ in range(n)]
+    pts = [hg.mul(gen, k) for k in ks]
+    scal = [
+        int.from_bytes(rng.bytes(33), "little") % FP.JUBJUB_R for _ in range(n)
+    ]
+    scal[0] = 0
+    X = ff.from_ints(spec, [p[0] for p in pts])
+    Y = ff.from_ints(spec, [p[1] for p in pts])
+    sc = np.zeros((n, 16), np.uint32)
+    for i, v in enumerate(scal):
+        for j in range(16):
+            sc[i, j] = (v >> (16 * j)) & 0xFFFF
+    inf = np.zeros((n,), bool)
+    inf[3] = True
+    out = msm_tpu.msm(
+        spec, jnp.asarray(sc), X, Y, jnp.asarray(inf), False,
+        msm_tpu.EDWARDS_OPS,
+    )
+    p = spec.modulus
+    x, y, z = (ff.to_ints(spec, out[0])[0], ff.to_ints(spec, out[1])[0],
+               ff.to_ints(spec, out[2])[0])
+    zi = pow(z % p, -1, p)
+    got = (x * zi % p, y * zi % p)
+    exp = (0, 1)
+    for i, (s, pt) in enumerate(zip(scal, pts)):
+        if not inf[i]:
+            exp = hg.add(exp, hg.mul(pt, s))
+    assert got == exp
