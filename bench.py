@@ -40,9 +40,13 @@ def _setup_jax():
 
 def _sync(jax, o):
     # block_until_ready does not synchronize through the axon TPU tunnel;
-    # a host fetch of the (tiny) first output leaf does.
+    # a host fetch does. Fetch only a SLIVER of the first leaf: the device
+    # buffer must be complete before any element ships, and pulling a full
+    # 2^22-point NTT output (400 MB) through the tunnel costs ~8 s — an
+    # order of magnitude more than the compute being timed.
     jax.block_until_ready(o)
-    return np.asarray(jax.tree_util.tree_leaves(o)[0])
+    leaf = jax.tree_util.tree_leaves(o)[0]
+    return np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
 
 
 def _time_best(jax, fn, iters):
@@ -104,9 +108,22 @@ def _distinct_points(jax, G1, n, log_n, rng):
             fq, (rep(AX), rep(AY), rep(AZ)), til(BX), til(BY)
         )
     )(ax, ay, az, bx, by)
-    # -> portable limbs-last layout, batch-normalized affine
-    proj = tuple(ff.to_field_last(ff.canonicalize(fq, cc), (n,)) for cc in pj)
-    pts = G1.to_affine(proj)
+    # -> portable limbs-last layout, batch-normalized affine. Chunked:
+    # batch_inv's associative-scan intermediates are ~5.6 GB per 2^20
+    # points (OOMs HBM at 2^22 done whole).
+    chunk = 1 << 20
+    parts = []
+    for s in range(0, n, chunk):
+        w = min(chunk, n - s)
+        proj = tuple(
+            ff.to_field_last(ff.canonicalize(fq, cc[:, s : s + w]), (w,))
+            for cc in pj
+        )
+        aff = G1.to_affine(proj)
+        parts.append(jax.tree_util.tree_map(jax.block_until_ready, aff))
+    pts = jax.tree_util.tree_map(
+        lambda *cs: jnp.concatenate(cs, axis=0), *parts
+    )
     exps = [
         (a_exps[i // K] + b_exps[i % K]) % r_ord for i in range(n)
     ]
@@ -174,7 +191,10 @@ def bench_ntt(jax, log_n, iters):
     exp = F.to_ints(spec, NTT.ntt(spec, F.from_ints(spec, ints)))
     assert small == exp, "ntt_lf self-check failed"
     coeffs = ff.from_ints(spec, ints * (n // 256))
-    run = jax.jit(lambda a: ntt_lf.ntt(spec, a))
+    # NOTE: call ntt directly (it jits internally, passing twiddles as
+    # traced args); an outer jax.jit would re-embed them as constants and
+    # overflow the axon remote-compile request at 2^22 (HTTP 413)
+    run = lambda a: ntt_lf.ntt(spec, a)
     _sync(jax, run(coeffs))
     best = _time_best(jax, lambda: run(coeffs), iters)
     # ~ (n/2) log2(n) butterflies; report elements/s for scale-independence
@@ -187,9 +207,16 @@ def bench_ntt(jax, log_n, iters):
 
 
 def bench_kzg(jax, log_n, iters):
-    """KZG commit+open wall-clock at degree 2^log_n (BASELINE.md target)."""
+    """KZG commit+open wall-clock at degree 2^log_n (BASELINE.md target).
+
+    The SRS stand-in is built with the O(sqrt N) distinct-point generator
+    instead of a real powers-of-beta setup: MSM cost is independent of the
+    base VALUES, and a device fixed-base walk at 2^20 both dwarfs the
+    measured phases and has crashed the axon TPU worker. Only commit/open
+    are timed, matching bench-templates/src/lib.rs:69-138."""
     import jax.numpy as jnp
 
+    from poly_commit_tpu.core import curve as C
     from poly_commit_tpu.core import field as F
     from poly_commit_tpu.core.field_params import FR_BLS12_381
     from poly_commit_tpu.pcs import kzg10
@@ -198,8 +225,16 @@ def bench_kzg(jax, log_n, iters):
     spec = FR_BLS12_381
     degree = 1 << log_n
     rng = HostRng(3)
-    pp = kzg10.setup(degree, rng=rng)
-    powers = kzg10.trim_powers(pp, degree)
+    nrng0 = np.random.default_rng(11)
+    K = 1 << ((log_n + 1) // 2)
+    n_gen = -(-(degree + 2) // K) * K  # _distinct_points needs K | n
+    pts, _, _, _, _ = _distinct_points(
+        jax, C.BLS12_381_G1, n_gen, log_n, nrng0
+    )
+    take = lambda t, k: tuple(a[:k] for a in t)
+    powers = kzg10.Powers(
+        powers_of_g=take(pts, degree + 1), powers_of_gamma_g=take(pts, degree + 2)
+    )
     nrng = np.random.default_rng(5)
     ints = [
         int.from_bytes(nrng.bytes(32), "little") % spec.modulus

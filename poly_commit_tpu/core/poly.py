@@ -96,6 +96,41 @@ def divide_by_linear(spec: FieldSpec, coeffs: jnp.ndarray, z: jnp.ndarray):
     return jnp.flip(qs, axis=0), acc
 
 
+def divide_by_linear_int(spec: FieldSpec, coeffs: jnp.ndarray, z_int: int):
+    """divide_by_linear with a HOST-int point: log-depth formulation.
+
+    The Ruffini scan above runs D sequential device steps — ~80 us each on
+    TPU, i.e. ~20 s for a 2^18-degree KZG witness (measured: the whole
+    commit+open bench was division-bound). With z known on host:
+        w_i = z^{-(i+1)} * S_{i+1},  S_i = sum_{k>=i} c_k z^k,  rem = S_0
+    — two log-depth power tables, one elementwise product, one suffix
+    cumulative sum (associative_scan), one elementwise product. z = 0
+    degenerates to a coefficient shift.
+    """
+    assert coeffs.ndim == 2
+    n = coeffs.shape[0]
+    p = spec.modulus
+    z_int = int(z_int) % p
+    if n <= 1:
+        return coeffs[:0], (coeffs[0] if n else F.zeros(spec))
+    if z_int == 0:
+        return coeffs[1:], coeffs[0]
+    z = F.from_ints(spec, z_int)
+    zinv = F.from_ints(spec, pow(z_int, -1, p))
+    zpows = powers(spec, z, n)  # (n, L): z^k
+    t = F.mont_mul(spec, coeffs, zpows)
+    suffix = jnp.flip(
+        jax.lax.associative_scan(
+            lambda a, b: F.add(spec, a, b), jnp.flip(t, axis=0), axis=0
+        ),
+        axis=0,
+    )  # S_i = sum_{k>=i} c_k z^k
+    zipows = powers(spec, zinv, n)  # zinv^k
+    # w_i = S_{i+1} * zinv^{i+1}, i = 0..n-2
+    w = F.mont_mul(spec, suffix[1:], zipows[1:])
+    return w, suffix[0]
+
+
 @_jit_spec
 def long_divide(spec: FieldSpec, num: jnp.ndarray, den: jnp.ndarray):
     """Dense long division: num = q*den + r, deg(r) < deg(den).

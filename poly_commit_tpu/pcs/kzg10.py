@@ -212,6 +212,18 @@ def check_degree_is_too_large(degree: int, num_powers: int):
         raise errors.TooManyCoefficients(degree + 1, num_powers)
 
 
+def _divide_auto(spec, coeffs, z_dev, z_int):
+    """Witness division: the log-depth host-point formulation on TPU at
+    real sizes (the sequential Ruffini scan costs ~80 us/step there —
+    division-bound KZG opens, see core/poly.py::divide_by_linear_int);
+    the scan elsewhere (compile-light, host-EC-friendly)."""
+    import jax
+
+    if jax.default_backend() == "tpu" and coeffs.shape[0] >= 1024:
+        return P.divide_by_linear_int(spec, coeffs, z_int)
+    return P.divide_by_linear(spec, coeffs, z_dev)
+
+
 def _pad_to(coeffs: jnp.ndarray, n: int) -> jnp.ndarray:
     """Zero-pad coefficients to length n so MSM shapes stay fixed per key
     (one XLA compilation regardless of polynomial degree)."""
@@ -259,7 +271,7 @@ def open(powers: Powers, coeffs: jnp.ndarray, point_int: int, rand: Randomness,
     spec = ctx.spec
     check_degree_is_too_large(coeffs.shape[0] - 1, powers.size())
     z = F.from_ints(spec, point_int)
-    witness, _ = P.divide_by_linear(spec, coeffs, z)
+    witness, _ = _divide_auto(spec, coeffs, z, point_int)
     if witness.shape[0] == 0:
         w_pt = ctx.g1.infinity(())
     else:

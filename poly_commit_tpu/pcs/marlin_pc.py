@@ -254,7 +254,7 @@ class MarlinKZG10(PolynomialCommitment):
             if lp.degree_bound is not None:
                 enforce = True
                 c_j1 = sponge.squeeze_challenge_128()
-                witness, _ = P.divide_by_linear(spec, lp.poly, z)
+                witness, _ = kzg10._divide_auto(spec, lp.poly, z, z_int)
                 largest = ck.enforced_degree_bounds[-1]
                 shifted_witness = P.shift(witness, largest - lp.degree_bound)
                 shifted_w = (
