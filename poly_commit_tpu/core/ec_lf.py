@@ -290,6 +290,40 @@ def _formula_ed_double(spec, rows_in):
     return _formula_ed_add(spec, rows_in + rows_in)
 
 
+def _unpack_rows(pq):
+    """L rows of 32-bit-packed limb pairs -> two L-row 16-bit lists.
+
+    Row i of each half packs limbs (2i | 2i+1 << 16); unpacking INSIDE the
+    kernel is register-level (the (L, m)-interleave that an XLA-level
+    unpack would relayout through sublanes is just list ordering here).
+    """
+    mask = np.uint32(0xFFFF)
+    h = len(pq) // 2
+    a_rows, b_rows = [], []
+    for i in range(h):
+        a_rows += [pq[i] & mask, pq[i] >> 16]
+        b_rows += [pq[h + i] & mask, pq[h + i] >> 16]
+    return a_rows, b_rows
+
+
+def _formula_madd_packed(spec, rows_in):
+    x1, y1, z1, pq = rows_in
+    x2, y2 = _unpack_rows(pq)
+    return _formula_madd(spec, [x1, y1, z1, x2, y2])
+
+
+def _formula_madd_distinct_packed(spec, rows_in):
+    x1, y1, z1, pq = rows_in
+    x2, y2 = _unpack_rows(pq)
+    return _formula_madd_distinct(spec, [x1, y1, z1, x2, y2])
+
+
+def _formula_ed_madd_packed(spec, rows_in):
+    x1, y1, z1, t1, pq = rows_in
+    x2, y2 = _unpack_rows(pq)
+    return _formula_ed_madd(spec, [x1, y1, z1, t1, x2, y2])
+
+
 _FORMULAS = {
     # name: (builder, n_in_coords, n_out_coords)
     "madd": (_formula_madd, 5, 3),
@@ -299,6 +333,9 @@ _FORMULAS = {
     "ed_madd": (_formula_ed_madd, 6, 4),
     "ed_add": (_formula_ed_add, 8, 4),
     "ed_double": (_formula_ed_double, 4, 4),
+    "madd_packed": (_formula_madd_packed, 4, 3),
+    "madd_distinct_packed": (_formula_madd_distinct_packed, 4, 3),
+    "ed_madd_packed": (_formula_ed_madd_packed, 5, 4),
 }
 
 
@@ -374,6 +411,17 @@ def madd_distinct(spec, p, xq, yq):
     return _dispatch(spec, "madd_distinct", p[0], p[1], p[2], xq, yq)
 
 
+def madd_packed(spec, p, pq):
+    """Jacobian p + affine point packed as (L, N) 32-bit limb pairs
+    (rows 0..L/2-1: x limbs 2i|2i+1<<16; rows L/2..: y). Complete."""
+    return _dispatch(spec, "madd_packed", p[0], p[1], p[2], pq)
+
+
+def madd_distinct_packed(spec, p, pq):
+    """Packed-input variant of madd_distinct (same precondition)."""
+    return _dispatch(spec, "madd_distinct_packed", p[0], p[1], p[2], pq)
+
+
 def add(spec, p, q):
     return _dispatch(spec, "add", p[0], p[1], p[2], q[0], q[1], q[2])
 
@@ -418,6 +466,11 @@ def neg(spec, p):
 
 def ed_madd(spec, p, xq, yq):
     return _dispatch(spec, "ed_madd", p[0], p[1], p[2], p[3], xq, yq)
+
+
+def ed_madd_packed(spec, p, pq):
+    """Packed-affine-input variant of ed_madd (complete, unified)."""
+    return _dispatch(spec, "ed_madd_packed", p[0], p[1], p[2], p[3], pq)
 
 
 def ed_add(spec, p, q):

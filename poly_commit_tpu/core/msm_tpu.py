@@ -36,6 +36,7 @@ from . import ff
 from .field_params import FieldSpec
 
 SCALAR_BITS = 256
+MASK16 = np.uint32(0xFFFF)
 
 
 class JACOBIAN_OPS:
@@ -46,6 +47,12 @@ class JACOBIAN_OPS:
     @staticmethod
     def madd(spec, p, px, py, distinct: bool):
         return (EC.madd_distinct if distinct else EC.madd)(spec, p, px, py)
+
+    @staticmethod
+    def madd_packed(spec, p, pq, distinct: bool):
+        return (EC.madd_distinct_packed if distinct else EC.madd_packed)(
+            spec, p, pq
+        )
 
     add = staticmethod(EC.add)
     double = staticmethod(EC.double)
@@ -84,6 +91,10 @@ class EDWARDS_OPS:
     @staticmethod
     def madd(spec, p, px, py, distinct: bool):
         return EC.ed_madd(spec, p, px, py)
+
+    @staticmethod
+    def madd_packed(spec, p, pq, distinct: bool):
+        return EC.ed_madd_packed(spec, p, pq)
 
     add = staticmethod(EC.ed_add)
     double = staticmethod(EC.ed_double)
@@ -190,16 +201,27 @@ def _bitonic_argsort(keys: jnp.ndarray):
 def _sort_by_digit(digs: jnp.ndarray):
     """Sort of each window's 16-bit digits; returns (order, sorted).
 
-    Default: XLA's comparator sort (1.9 s at 2^20x16 on TPU — the single
-    largest MSM stage). Measured alternatives, kept opt-in for reference:
-    POLY_COMMIT_BITONIC=1 (jnp bitonic network, 3.1 s — the small-stride
-    phases force lane-crossing relayouts; would need in-VMEM Pallas
-    phases to win) and POLY_COMMIT_RADIX_SORT=1 (counting sort, ~2x
-    slower — TPU scatters don't batch: 4 s for 16 batched 2^20 scatters).
+    Default on TPU: the in-VMEM Pallas bitonic (core/sort_tpu.py) —
+    0.097 s at 2^20x16 vs 1.9 s for XLA's comparator sort (the round-4
+    bottleneck; BASELINE.md). POLY_COMMIT_PALLAS_SORT=0 falls back to
+    XLA sort. Older measured alternatives stay opt-in for reproduction:
+    POLY_COMMIT_BITONIC=1 (jnp-level network, 3.1 s — small-stride
+    phases force lane-crossing relayouts) and POLY_COMMIT_RADIX_SORT=1
+    (counting sort, ~2x slower — TPU scatters don't batch).
     """
     import os
 
+    from . import sort_tpu
+
     w_count, n = digs.shape
+    if (
+        jax.default_backend() == "tpu"
+        and sort_tpu.supported(n)
+        and os.environ.get("POLY_COMMIT_PALLAS_SORT", "1") not in ("0", "false")
+        and os.environ.get("POLY_COMMIT_BITONIC", "0") in ("0", "false")
+        and os.environ.get("POLY_COMMIT_RADIX_SORT", "0") in ("0", "false")
+    ):
+        return sort_tpu.bitonic_argsort(digs)
     if jax.default_backend() == "tpu" and (n & (n - 1)) == 0 and (
         os.environ.get("POLY_COMMIT_BITONIC", "0") not in ("0", "false")
     ) and os.environ.get("POLY_COMMIT_RADIX_SORT", "0") in ("0", "false"):
@@ -238,6 +260,46 @@ def _sort_by_digit(digs: jnp.ndarray):
         orders.append(idx)
     order = jnp.stack(orders, axis=0)
     return order, jnp.take_along_axis(digs, order, axis=1)
+
+
+def _tails_hist(sd: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Bucket tails via an MXU histogram instead of searchsorted.
+
+    searchsorted(2^20 keys, 2^16 queries) x 16 windows is 20 rounds of
+    1M-element binary-search gathers — measured 0.60 s at 2^20, the #2
+    MSM stage after the madd scan. But tails[b] = #{i: d_i <= b} - 1 and
+    the count is a histogram: one-hot the hi/lo BYTES of each digit and
+    contract over elements — hist2d[h, l] = sum_i A[i,h] * B[i,l] — a
+    (256, M) @ (M, 256) bf16 matmul that the MXU does in microseconds
+    (counts <= 2^20 stay exact in the f32 accumulator). The padding
+    sentinel 2^16 one-hots to all-zero rows (hi byte 256 is out of
+    range), which drops it from every count exactly as searchsorted's
+    [-1, n_real-1] convention requires. Chunked over elements so the
+    one-hot operands stay ~64 MB per step."""
+    w_count, n = sd.shape
+    bsz = 1 << c
+    hi = (sd >> 8).astype(jnp.int32)  # [0, 256]; 256 = sentinel
+    lo = (sd & np.uint32(0xFF)).astype(jnp.int32)
+    chunk = min(n, 1 << 16)
+    steps = n // chunk
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+    hi_s = jnp.moveaxis(hi.reshape(w_count, steps, chunk), 1, 0)
+    lo_s = jnp.moveaxis(lo.reshape(w_count, steps, chunk), 1, 0)
+
+    def body(acc, inp):
+        h, l = inp  # (W, chunk)
+        a = (h[:, :, None] == iota).astype(jnp.bfloat16)
+        b = (l[:, :, None] == iota).astype(jnp.bfloat16)
+        acc = acc + jnp.einsum(
+            "wjh,wjl->whl", a, b, preferred_element_type=jnp.float32
+        )
+        return acc, None
+
+    hist, _ = jax.lax.scan(
+        body, jnp.zeros((w_count, 256, 256), jnp.float32), (hi_s, lo_s)
+    )
+    cum = jnp.cumsum(hist.reshape(w_count, bsz), axis=1)
+    return cum.astype(jnp.int32) - 1
 
 
 def _t_lanes() -> int:
@@ -302,23 +364,37 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
 
     m = w_count * t_lanes
 
-    # gathers must index the MAJOR axis with the limb axis contiguous and
-    # minor: a take on (L, N') columns reads L strided 4-byte words per
-    # point (HBM row-granularity waste ~24x); on (N', L) each gathered row
-    # is one contiguous 4*L-byte read. Points are gathered limbs-last and
-    # transposed to the kernels' limbs-first layout in-register; emitted
-    # prefixes are transposed once per step so the tail gather downstream
-    # reads contiguous rows too.
+    # The in-scan gather cost scales with the ROW count of the gathered
+    # table (measured: 48 u32 rows 0.90 s, 24 rows 0.52 s, 12 rows 0.40 s
+    # for 256x65536 at 2^20), so the 16-bit limb rows of x and y are
+    # packed pairwise into full 32-bit words — ONE (L, N') table instead
+    # of two (L, N') half-empty ones — and unpacked in-register after the
+    # gather (~48 cheap vector ops per step). POLY_COMMIT_PACK_GATHER=0
+    # restores the unpacked layouts (with POLY_COMMIT_GATHER_MAJOR as the
+    # round-4 limbs-last A/B).
     import os
 
     gather_major = os.environ.get("POLY_COMMIT_GATHER_MAJOR", "0") not in (
         "0", "false"
     )
+    pack_gather = L % 2 == 0 and os.environ.get(
+        "POLY_COMMIT_PACK_GATHER", "1"
+    ) not in ("0", "false")
+    if pack_gather:
+        packed = jnp.concatenate(
+            [x[0::2] | (x[1::2] << 16), y[0::2] | (y[1::2] << 16)], axis=0
+        )  # (L, N'): rows 0..L/2-1 pack x limb pairs, L/2.. pack y
     x_last = x.T  # (N', L)
     y_last = y.T
 
     def main_body(accum, inp):
         idx, skip = inp
+        if pack_gather:
+            g = jnp.take(packed, idx, axis=1)  # (L, m)
+            added = ops.madd_packed(spec, accum, g, assume_distinct)
+            accum = ops.select(skip, accum, added)
+            emit = tuple(cc.T for cc in accum) if gather_major else accum
+            return accum, emit
         if gather_major:
             px = jnp.take(x_last, idx, axis=0).T  # (m, L) gather -> (L, m)
             py = jnp.take(y_last, idx, axis=0).T
@@ -328,7 +404,7 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
         added = ops.madd(spec, accum, px, py, assume_distinct)
         accum = ops.select(skip, accum, added)
         # emit the inclusive within-lane prefix (limbs-last when the major
-        # layout is on, so the tail gather reads contiguous rows)
+        # layout is on, so the tail gather downstream reads contiguous rows)
         emit = tuple(cc.T for cc in accum) if gather_major else accum
         return accum, emit
 
@@ -382,13 +458,18 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
         width *= 2
     lane_pref = _flat(pref, L, m)  # exclusive per-window lane prefixes
 
-    # ---- bucket tails (searchsorted on sorted digits) ----
-    qs = jnp.arange(bsz, dtype=jnp.uint32)
+    # ---- bucket tails ----
+    if jax.default_backend() == "tpu" and c == 16:
+        tails = _tails_hist(sd, c)  # (W, bsz) in [-1, N'-1]
+    else:
+        qs = jnp.arange(bsz, dtype=jnp.uint32)
 
-    def tails_one(sd_w):
-        return jnp.searchsorted(sd_w, qs, side="right").astype(jnp.int32) - 1
+        def tails_one(sd_w):
+            return (
+                jnp.searchsorted(sd_w, qs, side="right").astype(jnp.int32) - 1
+            )
 
-    tails = jax.vmap(tails_one)(sd)  # (W, bsz) in [-1, N'-1]
+        tails = jax.vmap(tails_one)(sd)  # (W, bsz) in [-1, N'-1]
 
     # ---- G at tail positions: lane_pref[lane] + prefixes[step][lane] ----
     pos = jnp.clip(tails, 0)
@@ -417,9 +498,16 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
     # (sum_j j*(G_j - G_{j-1}) telescopes; no weighted bucket reduction)
     g3 = tuple(cc.reshape(L, w_count, bsz) for cc in g)
     g_last = tuple(cc[:, :, bsz - 1] for cc in g3)  # (L, W): window totals
-    # tree-sum of G_0..G_{bsz-2} per window
-    cur = tuple(cc[:, :, : bsz - 1] for cc in g3)
-    mlen = bsz - 1
+    # tree-sum of G_0..G_{bsz-2} per window, padded to bsz lanes with one
+    # infinity column so every level halves cleanly (no odd-width concats)
+    inf_col = tuple(
+        cc.reshape(L, w_count, 1) for cc in ops.infinity(spec, w_count)
+    )
+    cur = tuple(
+        jnp.concatenate([cc[:, :, : bsz - 1], ic], axis=2)
+        for cc, ic in zip(g3, inf_col)
+    )
+    mlen = bsz
     while mlen > 1:
         half = mlen // 2
         a = tuple(cc[:, :, :half] for cc in cur)
@@ -427,16 +515,8 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
         s = ops.add(
             spec, _flat(a, L, w_count * half), _flat(b, L, w_count * half)
         )
-        s = tuple(cc.reshape(L, w_count, half) for cc in s)
-        if mlen % 2:
-            cur = tuple(
-                jnp.concatenate([sc, cc[:, :, mlen - 1 :]], axis=2)
-                for sc, cc in zip(s, cur)
-            )
-            mlen = half + 1
-        else:
-            cur = s
-            mlen = half
+        cur = tuple(cc.reshape(L, w_count, half) for cc in s)
+        mlen = half
     sum_g = tuple(cc[:, :, 0] for cc in cur)  # (L, W)
     return g_last + sum_g  # 6 coord arrays: (x,y,z of G_B, x,y,z of sumG)
 
