@@ -25,6 +25,22 @@ import numpy as np
 
 ARKWORKS_CPU_MSM_OPS_PER_S = 1.2e6  # see BASELINE.md "CPU comparison point"
 
+# Analytic CPU expectations for the metrics arkworks publishes no numbers
+# for and this box cannot run (no Rust toolchain — BASELINE.md "Published
+# numbers"). Derivations, recorded in BASELINE.md §baselines:
+#   NTT 2^22 (Fr-255): (n/2)*log2(n) butterflies; ~80 ns/butterfly
+#   single-core (1 Montgomery mul + 2 adds on 4x64-bit limbs), rayon x16
+#   cores at ~80% scaling -> ~46M butterflies / (12.8 ops/ns) ~ 0.38 s
+#   ~ 11M elements/s. Rounded conservatively to 10M el/s.
+ARKWORKS_CPU_NTT_EL_PER_S = 10e6
+
+
+def arkworks_cpu_kzg_s(degree: int) -> float:
+    """KZG commit+open wall-clock expectation on the reference's stack:
+    two degree-n G1 MSMs at the 1.2M points/s multicore figure plus a
+    single-pass synthetic division (~5 ns/coeff, memory-bound)."""
+    return 2 * degree / ARKWORKS_CPU_MSM_OPS_PER_S + degree * 5e-9
+
 
 def _setup_jax():
     import sys
@@ -202,7 +218,9 @@ def bench_ntt(jax, log_n, iters):
         "metric": f"ntt_fr_bls12_381_2^{log_n}",
         "value": round(n / best, 1),
         "unit": "elements/s",
-        "vs_baseline": 0.0,  # no arkworks-side figure recorded
+        # vs the analytic multicore-CPU expectation (no published arkworks
+        # figure exists; see ARKWORKS_CPU_NTT_EL_PER_S derivation)
+        "vs_baseline": round(n / best / ARKWORKS_CPU_NTT_EL_PER_S, 4),
     }
 
 
@@ -260,7 +278,9 @@ def bench_kzg(jax, log_n, iters):
         "metric": f"kzg_commit_open_2^{log_n}",
         "value": round(best, 4),
         "unit": "s",
-        "vs_baseline": 0.0,  # no arkworks-side figure recorded
+        # time ratio: analytic CPU expectation / measured (>1 = faster
+        # than the reference's multicore-CPU stack; see arkworks_cpu_kzg_s)
+        "vs_baseline": round(arkworks_cpu_kzg_s(degree) / best, 4),
     }
 
 

@@ -15,12 +15,14 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "benches", "results_r04.jsonl")
+OUT = os.path.join(REPO, "benches", "results_r05.jsonl")
 
 METRICS = [
     ("msm20", {"BENCH_METRIC": "msm", "BENCH_MSM_LOG_N": "20", "BENCH_ITERS": "3"}, 1200),
     ("msm22", {"BENCH_METRIC": "msm", "BENCH_MSM_LOG_N": "22", "BENCH_ITERS": "2"}, 1700),
+    ("ntt20", {"BENCH_METRIC": "ntt", "BENCH_MSM_LOG_N": "20", "BENCH_ITERS": "3"}, 1200),
     ("ntt22", {"BENCH_METRIC": "ntt", "BENCH_MSM_LOG_N": "22", "BENCH_ITERS": "3"}, 1200),
+    ("kzg18", {"BENCH_METRIC": "kzg", "BENCH_MSM_LOG_N": "18", "BENCH_ITERS": "2"}, 1400),
     ("kzg20", {"BENCH_METRIC": "kzg", "BENCH_MSM_LOG_N": "20", "BENCH_ITERS": "2"}, 1700),
 ]
 

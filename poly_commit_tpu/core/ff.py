@@ -77,6 +77,11 @@ def _carry_rows(cols, n_out):
     return out, c
 
 
+def _pad0(x, lead):
+    """Pad only the leading (limb) axis; rows may be 1-D or n-D blocks."""
+    return jnp.pad(x, [lead] + [(0, 0)] * (x.ndim - 1))
+
+
 def _mul_cols_low(a_rows, b_rows, n_out):
     """Low n_out columns only (mod 2^(16*n_out)): per a-limb i, multiply just
     b[: n_out - i] — roughly halves the work of a full product."""
@@ -85,15 +90,15 @@ def _mul_cols_low(a_rows, b_rows, n_out):
     acc = None
     for i in range(min(la, n_out)):
         width = n_out - i
-        p = a_rows[i][None, :] * b[:width]
+        p = a_rows[i][None] * b[:width]
         lo = p & MASK
         hi = p >> LIMB_BITS
-        blk = jnp.pad(lo, ((i, 0), (0, 0)))
+        blk = _pad0(lo, (i, 0))
         hi_w = min(width, n_out - i - 1)
         if hi_w > 0:
-            blk = blk + jnp.pad(hi[:hi_w], ((i + 1, 0), (0, 0)))
+            blk = blk + _pad0(hi[:hi_w], (i + 1, 0))
         if blk.shape[0] < n_out:
-            blk = jnp.pad(blk, ((0, n_out - blk.shape[0]), (0, 0)))
+            blk = _pad0(blk, (0, n_out - blk.shape[0]))
         acc = blk if acc is None else acc + blk
     return [acc[k] for k in range(n_out)]
 
@@ -110,12 +115,10 @@ def _mul_cols(a_rows, b_rows):
     b = jnp.stack(b_rows, 0)  # (lb, N)
     acc = None
     for i in range(la):
-        p = a_rows[i][None, :] * b  # (lb, N) exact u32 (inputs < 2^16)
+        p = a_rows[i][None] * b  # (lb, N) exact u32 (inputs < 2^16)
         lo = p & MASK
         hi = p >> LIMB_BITS
-        blk = jnp.pad(lo, ((i, la - i), (0, 0))) + jnp.pad(
-            hi, ((i + 1, la - i - 1), (0, 0))
-        )
+        blk = _pad0(lo, (i, la - i)) + _pad0(hi, (i + 1, la - i - 1))
         acc = blk if acc is None else acc + blk
     return [acc[k] for k in range(la + lb)]
 
@@ -129,7 +132,7 @@ def _sqr_cols(a_rows):
     acc = None
     for i in range(la):
         tail = a[i:]  # (la - i, N)
-        p = a_rows[i][None, :] * tail  # exact u32
+        p = a_rows[i][None] * tail  # exact u32
         lo = p & MASK
         hi = p >> LIMB_BITS
         # double the cross terms (rows 1..) but not the square (row 0)
@@ -138,9 +141,7 @@ def _sqr_cols(a_rows):
             dblh = jnp.concatenate([hi[:1], hi[1:] * 2], axis=0)
         else:
             dbl, dblh = lo, hi
-        blk = jnp.pad(dbl, ((2 * i, la - i), (0, 0))) + jnp.pad(
-            dblh, ((2 * i + 1, la - i - 1), (0, 0))
-        )
+        blk = _pad0(dbl, (2 * i, la - i)) + _pad0(dblh, (2 * i + 1, la - i - 1))
         acc = blk if acc is None else acc + blk
     return [acc[k] for k in range(2 * la)]
 

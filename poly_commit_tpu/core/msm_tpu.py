@@ -481,6 +481,10 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
     step_flat = step.reshape(-1)
     empty = (tails < 0).reshape(-1)
 
+    # (A packed-limb variant of these tail gathers was measured slower —
+    # the post-gather sublane interleave unpack costs more than the halved
+    # gather saves; unlike the in-scan point gather there is no Pallas
+    # kernel downstream to absorb the unpack for free.)
     if gather_major:
         within = tuple(
             cc[step_flat, lane_flat, :].T for cc in prefixes
