@@ -227,11 +227,13 @@ def bench_ntt(jax, log_n, iters):
 def bench_kzg(jax, log_n, iters):
     """KZG commit+open wall-clock at degree 2^log_n (BASELINE.md target).
 
-    The SRS stand-in is built with the O(sqrt N) distinct-point generator
-    instead of a real powers-of-beta setup: MSM cost is independent of the
-    base VALUES, and a device fixed-base walk at 2^20 both dwarfs the
-    measured phases and has crashed the axon TPU worker. Only commit/open
-    are timed, matching bench-templates/src/lib.rs:69-138."""
+    Default: a REAL powers-of-beta SRS via kzg10.setup (the device
+    fixed-base walk, kzg10/mod.rs:53-124). The round-4 axon "kernel
+    fault" in that walk no longer reproduces (round 5 re-validated it at
+    2^12..2^20); BENCH_KZG_STANDIN=1 restores the O(sqrt N)
+    distinct-point stand-in for quick runs — MSM cost is independent of
+    the base VALUES, so timings match. Only commit/open are timed,
+    matching bench-templates/src/lib.rs:69-138."""
     import jax.numpy as jnp
 
     from poly_commit_tpu.core import curve as C
@@ -243,16 +245,21 @@ def bench_kzg(jax, log_n, iters):
     spec = FR_BLS12_381
     degree = 1 << log_n
     rng = HostRng(3)
-    nrng0 = np.random.default_rng(11)
-    K = 1 << ((log_n + 1) // 2)
-    n_gen = -(-(degree + 2) // K) * K  # _distinct_points needs K | n
-    pts, _, _, _, _ = _distinct_points(
-        jax, C.BLS12_381_G1, n_gen, log_n, nrng0
-    )
-    take = lambda t, k: tuple(a[:k] for a in t)
-    powers = kzg10.Powers(
-        powers_of_g=take(pts, degree + 1), powers_of_gamma_g=take(pts, degree + 2)
-    )
+    if os.environ.get("BENCH_KZG_STANDIN", "0") not in ("0", "false"):
+        nrng0 = np.random.default_rng(11)
+        K = 1 << ((log_n + 1) // 2)
+        n_gen = -(-(degree + 2) // K) * K  # _distinct_points needs K | n
+        pts, _, _, _, _ = _distinct_points(
+            jax, C.BLS12_381_G1, n_gen, log_n, nrng0
+        )
+        take = lambda t, k: tuple(a[:k] for a in t)
+        powers = kzg10.Powers(
+            powers_of_g=take(pts, degree + 1),
+            powers_of_gamma_g=take(pts, degree + 2),
+        )
+    else:
+        pp = kzg10.setup(degree, rng=HostRng(41))
+        powers = kzg10.trim_powers(pp, degree)
     nrng = np.random.default_rng(5)
     ints = [
         int.from_bytes(nrng.bytes(32), "little") % spec.modulus

@@ -66,3 +66,35 @@ def test_golden_vectors_replay():
     regenerated = marlin_ark_golden(committed["degree"])
     assert regenerated == committed
     assert committed["check"] is True
+
+
+def test_bounded_golden_vectors_replay():
+    """Degree-bound + hiding transcript (shifted powers + gamma_g chain)."""
+    from poly_commit_tpu.pcs.ark_interop import marlin_ark_golden_bounded
+
+    path = os.path.join(os.path.dirname(__file__), "vectors",
+                        "marlin_bounded_ark_golden.json")
+    with open(path) as f:
+        committed = json.load(f)
+    regenerated = marlin_ark_golden_bounded(
+        committed["degree"], committed["degree_bound"],
+        committed["hiding_bound"],
+    )
+    assert regenerated == committed
+    assert committed["check"] is True
+
+
+def test_sonic_golden_vectors_replay():
+    """SonicKZG10 transcript (neg-G2 powers + combined opening)."""
+    from poly_commit_tpu.pcs.ark_interop import sonic_ark_golden
+
+    path = os.path.join(os.path.dirname(__file__), "vectors",
+                        "sonic_ark_golden.json")
+    with open(path) as f:
+        committed = json.load(f)
+    regenerated = sonic_ark_golden(
+        committed["degree"], committed["degree_bound"],
+        committed["hiding_bound"],
+    )
+    assert regenerated == committed
+    assert committed["check"] is True

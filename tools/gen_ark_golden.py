@@ -18,6 +18,19 @@ from poly_commit_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache(cpu=True)
 
-from poly_commit_tpu.pcs.ark_interop import marlin_ark_golden  # noqa: E402
+from poly_commit_tpu.pcs.ark_interop import (  # noqa: E402
+    marlin_ark_golden,
+    marlin_ark_golden_bounded,
+    sonic_ark_golden,
+)
 
-print(json.dumps(marlin_ark_golden(), indent=1))
+VEC = os.path.join(os.path.dirname(__file__), "..", "tests", "vectors")
+for name, fn in (
+    ("marlin_ark_golden.json", marlin_ark_golden),
+    ("marlin_bounded_ark_golden.json", marlin_ark_golden_bounded),
+    ("sonic_ark_golden.json", sonic_ark_golden),
+):
+    d = fn()
+    with open(os.path.join(VEC, name), "w") as f:
+        json.dump(d, f, indent=1)
+    print(name, "check:", d["check"])
