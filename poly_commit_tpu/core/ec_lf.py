@@ -27,13 +27,92 @@ from .field_params import FieldSpec
 _TILE = 512
 
 
-def _formula_madd(spec, rows_in):
-    """madd-2007-bl with edge selects. rows_in: 8 coord row-lists."""
+def _fx_base(spec):
+    """Base-prime-field row ops (the default field of every formula)."""
+    return dict(
+        mul=lambda a, b: ff._mont_mul_rows(spec, a, b),
+        sqr=lambda a: ff._mont_sqr_rows(spec, a),
+        add=lambda a, b: ff._add_rows(spec, a, b),
+        sub=lambda a, b: ff._sub_rows(spec, a, b),
+        is_zero=lambda a: ff_is_zero_rows(spec, a),
+        one=lambda shape: ff_one_rows(spec, shape),
+    )
+
+
+# Fq2 = Fq[u]/(u^2 - nr) per curve family (ark-ff Fp2Config NONRESIDUE)
+_QUAD_NR = {
+    "fq_bls12_381": -1,
+    "fq_bls12_377": -5,
+    "fq_bn254": -1,
+}
+
+
+def _fx_quad(spec):
+    """Quadratic-extension row ops: values are 2L-row lists (c0 || c1).
+
+    Karatsuba multiply (3 base muls), componentwise add/sub (carry ripples
+    MUST NOT cross the component boundary — never treat the 2L rows as one
+    integer), small-negative nonresidue folded into an addition chain.
+    Powers the G2 fast-path MSM (multilinear_pc's per-round G2 MSMs,
+    /root/reference/poly-commit/src/multilinear_pc/mod.rs:158-163)."""
+    L = spec.n_limbs
+    b = _fx_base(spec)
+    k = (-_QUAD_NR[spec.name]) % spec.modulus  # nr = -k, k small
+    assert 0 < k < 32, spec.name
+
+    def small(t, kk):
+        res, cur = None, t
+        while kk:
+            if kk & 1:
+                res = cur if res is None else b["add"](res, cur)
+            kk >>= 1
+            if kk:
+                cur = b["add"](cur, cur)
+        return res
+
+    def mul(a, c):
+        a0, a1, c0, c1 = a[:L], a[L:], c[:L], c[L:]
+        t0 = b["mul"](a0, c0)
+        t1 = b["mul"](a1, c1)
+        s = b["mul"](b["add"](a0, a1), b["add"](c0, c1))
+        r0 = b["sub"](t0, small(t1, k))
+        r1 = b["sub"](b["sub"](s, t0), t1)
+        return r0 + r1
+
+    def sqr(a):
+        a0, a1 = a[:L], a[L:]
+        if k == 1:
+            r0 = b["mul"](b["add"](a0, a1), b["sub"](a0, a1))
+        else:
+            r0 = b["sub"](b["sqr"](a0), small(b["sqr"](a1), k))
+        t = b["mul"](a0, a1)
+        return r0 + b["add"](t, t)
+
+    def add(a, c):
+        return b["add"](a[:L], c[:L]) + b["add"](a[L:], c[L:])
+
+    def sub(a, c):
+        return b["sub"](a[:L], c[:L]) + b["sub"](a[L:], c[L:])
+
+    def is_zero(a):
+        return b["is_zero"](a[:L]) & b["is_zero"](a[L:])
+
+    def one(shape):
+        return b["one"](shape) + [
+            jnp.zeros(shape, jnp.uint32) for _ in range(L)
+        ]
+
+    return dict(mul=mul, sqr=sqr, add=add, sub=sub, is_zero=is_zero, one=one)
+
+
+def _formula_madd(spec, rows_in, fx=None):
+    """madd-2007-bl with edge selects. rows_in: 5 coord row-lists."""
+    fx = fx or _fx_base(spec)
     x1, y1, z1, x2, y2 = rows_in[:5]
-    mul = lambda a, b: ff._mont_mul_rows(spec, a, b)
-    sqr = lambda a: ff._mont_sqr_rows(spec, a)
-    add = lambda a, b: ff._add_rows(spec, a, b)
-    sub = lambda a, b: ff._sub_rows(spec, a, b)
+    mul = fx["mul"]
+    sqr = fx["sqr"]
+    add = fx["add"]
+    sub = fx["sub"]
 
     z1z1 = sqr(z1)
     u2 = mul(x2, z1z1)
@@ -69,9 +148,9 @@ def _formula_madd(spec, rows_in):
     dz0 = mul(y1, z1)
     dz = add(dz0, dz0)
 
-    h_zero = ff_is_zero_rows(spec, h)
-    r_zero = ff_is_zero_rows(spec, r0)
-    p_inf = ff_is_zero_rows(spec, z1)
+    h_zero = fx["is_zero"](h)
+    r_zero = fx["is_zero"](r0)
+    p_inf = fx["is_zero"](z1)
 
     both = h_zero & r_zero
     neg = h_zero & ~r_zero
@@ -82,7 +161,7 @@ def _formula_madd(spec, rows_in):
         return [jnp.where(p_inf, fv, ov) for fv, ov in zip(fresh_v, out)]
 
     zero_rows = [jnp.zeros_like(r) for r in x1]
-    one_rows = ff_one_rows(spec, x1[0].shape)
+    one_rows = fx["one"](x1[0].shape)
 
     x_out = pick(dx, x3, x2, zero_rows)
     y_out = pick(dy, y3, y2, one_rows)
@@ -90,7 +169,7 @@ def _formula_madd(spec, rows_in):
     return x_out + y_out + z_out  # concatenated row lists
 
 
-def _formula_madd_distinct(spec, rows_in):
+def _formula_madd_distinct(spec, rows_in, fx=None):
     """madd-2007-bl WITHOUT the doubling/negation branches: 7M+4S.
 
     Precondition: the affine point is never equal to ±accumulator (for
@@ -99,11 +178,12 @@ def _formula_madd_distinct(spec, rows_in):
     Only the accumulator-at-infinity case is handled (every Pippenger
     lane starts at infinity). ~35% fewer field ops than _formula_madd.
     """
+    fx = fx or _fx_base(spec)
     x1, y1, z1, x2, y2 = rows_in[:5]
-    mul = lambda a, b: ff._mont_mul_rows(spec, a, b)
-    sqr = lambda a: ff._mont_sqr_rows(spec, a)
-    add = lambda a, b: ff._add_rows(spec, a, b)
-    sub = lambda a, b: ff._sub_rows(spec, a, b)
+    mul = fx["mul"]
+    sqr = fx["sqr"]
+    add = fx["add"]
+    sub = fx["sub"]
 
     z1z1 = sqr(z1)
     u2 = mul(x2, z1z1)
@@ -122,22 +202,22 @@ def _formula_madd_distinct(spec, rows_in):
     z1h = add(z1, h)
     z3 = sub(sub(sqr(z1h), z1z1), hh)
 
-    p_inf = ff_is_zero_rows(spec, z1)
-    one_rows = ff_one_rows(spec, x1[0].shape)
+    p_inf = fx["is_zero"](z1)
+    one_rows = fx["one"](x1[0].shape)
     x_out = [jnp.where(p_inf, fv, ov) for fv, ov in zip(x2, x3)]
     y_out = [jnp.where(p_inf, fv, ov) for fv, ov in zip(y2, y3)]
     z_out = [jnp.where(p_inf, fv, ov) for fv, ov in zip(one_rows, z3)]
     return x_out + y_out + z_out
 
 
-def _formula_add(spec, rows_in):
+def _formula_add(spec, rows_in, fx=None):
     """add-2007-bl (Jacobian + Jacobian) with edge selects."""
+    fx = fx or _fx_base(spec)
     x1, y1, z1, x2, y2, z2 = rows_in
-    mul = lambda a, b: ff._mont_mul_rows(spec, a, b)
-    add = lambda a, b: ff._add_rows(spec, a, b)
-    sub = lambda a, b: ff._sub_rows(spec, a, b)
-
-    sqr = lambda a: ff._mont_sqr_rows(spec, a)
+    mul = fx["mul"]
+    add = fx["add"]
+    sub = fx["sub"]
+    sqr = fx["sqr"]
     z1z1 = sqr(z1)
     z2z2 = sqr(z2)
     u1 = mul(x1, z2z2)
@@ -174,15 +254,15 @@ def _formula_add(spec, rows_in):
     dz0 = mul(y1, z1)
     dz = add(dz0, dz0)
 
-    h_zero = ff_is_zero_rows(spec, h)
-    r_zero = ff_is_zero_rows(spec, r0)
-    p_inf = ff_is_zero_rows(spec, z1)
-    q_inf = ff_is_zero_rows(spec, z2)
+    h_zero = fx["is_zero"](h)
+    r_zero = fx["is_zero"](r0)
+    p_inf = fx["is_zero"](z1)
+    q_inf = fx["is_zero"](z2)
     both = h_zero & r_zero & ~p_inf & ~q_inf
     neg = h_zero & ~r_zero & ~p_inf & ~q_inf
 
     zero_rows = [jnp.zeros_like(r) for r in x1]
-    one_rows = ff_one_rows(spec, x1[0].shape)
+    one_rows = fx["one"](x1[0].shape)
 
     def pick(main_v, dbl_v, a_v, b_v, zero_v):
         out = [jnp.where(both, dv, mv) for dv, mv in zip(dbl_v, main_v)]
@@ -196,12 +276,13 @@ def _formula_add(spec, rows_in):
     return x_out + y_out + z_out
 
 
-def _formula_double(spec, rows_in):
+def _formula_double(spec, rows_in, fx=None):
+    fx = fx or _fx_base(spec)
     x1, y1, z1 = rows_in
-    mul = lambda a, b: ff._mont_mul_rows(spec, a, b)
-    sqr = lambda a: ff._mont_sqr_rows(spec, a)
-    add = lambda a, b: ff._add_rows(spec, a, b)
-    sub = lambda a, b: ff._sub_rows(spec, a, b)
+    mul = fx["mul"]
+    sqr = fx["sqr"]
+    add = fx["add"]
+    sub = fx["sub"]
     a = sqr(x1)
     b = sqr(y1)
     c = sqr(b)
@@ -324,25 +405,56 @@ def _formula_ed_madd_packed(spec, rows_in):
     return _formula_ed_madd(spec, [x1, y1, z1, t1, x2, y2])
 
 
+def _g2(builder):
+    """Bind a Weierstrass formula builder to the quadratic-extension field
+    (the formulas are field-generic; only the row ops change)."""
+
+    def wrapped(spec, rows_in):
+        return builder(spec, rows_in, fx=_fx_quad(spec))
+
+    return wrapped
+
+
+def _formula_g2_madd_packed(spec, rows_in):
+    x1, y1, z1, pq = rows_in
+    x2, y2 = _unpack_rows(pq)
+    return _formula_madd(spec, [x1, y1, z1, x2, y2], fx=_fx_quad(spec))
+
+
+def _formula_g2_madd_distinct_packed(spec, rows_in):
+    x1, y1, z1, pq = rows_in
+    x2, y2 = _unpack_rows(pq)
+    return _formula_madd_distinct(
+        spec, [x1, y1, z1, x2, y2], fx=_fx_quad(spec)
+    )
+
+
 _FORMULAS = {
-    # name: (builder, n_in_coords, n_out_coords)
-    "madd": (_formula_madd, 5, 3),
-    "madd_distinct": (_formula_madd_distinct, 5, 3),
-    "add": (_formula_add, 6, 3),
-    "double": (_formula_double, 3, 3),
-    "ed_madd": (_formula_ed_madd, 6, 4),
-    "ed_add": (_formula_ed_add, 8, 4),
-    "ed_double": (_formula_ed_double, 4, 4),
-    "madd_packed": (_formula_madd_packed, 4, 3),
-    "madd_distinct_packed": (_formula_madd_distinct_packed, 4, 3),
-    "ed_madd_packed": (_formula_ed_madd_packed, 5, 4),
+    # name: (builder, n_in_coords, n_out_coords, limb_rows_multiplier)
+    "madd": (_formula_madd, 5, 3, 1),
+    "madd_distinct": (_formula_madd_distinct, 5, 3, 1),
+    "add": (_formula_add, 6, 3, 1),
+    "double": (_formula_double, 3, 3, 1),
+    "ed_madd": (_formula_ed_madd, 6, 4, 1),
+    "ed_add": (_formula_ed_add, 8, 4, 1),
+    "ed_double": (_formula_ed_double, 4, 4, 1),
+    "madd_packed": (_formula_madd_packed, 4, 3, 1),
+    "madd_distinct_packed": (_formula_madd_distinct_packed, 4, 3, 1),
+    "ed_madd_packed": (_formula_ed_madd_packed, 5, 4, 1),
+    # G2: same Jacobian formulas over Fq2 (2L-row c0||c1 coordinates)
+    "g2_madd": (_g2(_formula_madd), 5, 3, 2),
+    "g2_madd_distinct": (_g2(_formula_madd_distinct), 5, 3, 2),
+    "g2_add": (_g2(_formula_add), 6, 3, 2),
+    "g2_double": (_g2(_formula_double), 3, 3, 2),
+    "g2_madd_packed": (_formula_g2_madd_packed, 4, 3, 2),
+    "g2_madd_distinct_packed": (_formula_g2_madd_distinct_packed, 4, 3, 2),
 }
 
 
 @functools.lru_cache(maxsize=64)
 def _ec_fn(spec: FieldSpec, which: str, n: int, use_pallas: bool):
-    builder, n_in, n_out = _FORMULAS[which]
-    L = spec.n_limbs
+    builder, n_in, n_out, rows_mult = _FORMULAS[which]
+    L = spec.n_limbs * rows_mult
 
     def graph(*coords):
         rows_in = [ff._rows(c) for c in coords]
@@ -456,6 +568,53 @@ def neg(spec, p):
     """-(x, y, z): negate y (valid for values < 2p via 2p - y)."""
     x, y, z = p
     return (x, ff.sub(spec, jnp.zeros_like(y), y), z)
+
+
+# -- G2: Weierstrass over Fq2; coordinates are (2L, N) c0||c1 limb stacks ----
+
+
+def g2_madd(spec, p, xq, yq):
+    return _dispatch(spec, "g2_madd", p[0], p[1], p[2], xq, yq)
+
+
+def g2_madd_distinct(spec, p, xq, yq):
+    return _dispatch(spec, "g2_madd_distinct", p[0], p[1], p[2], xq, yq)
+
+
+def g2_madd_packed(spec, p, pq):
+    return _dispatch(spec, "g2_madd_packed", p[0], p[1], p[2], pq)
+
+
+def g2_madd_distinct_packed(spec, p, pq):
+    return _dispatch(spec, "g2_madd_distinct_packed", p[0], p[1], p[2], pq)
+
+
+def g2_add(spec, p, q):
+    return _dispatch(spec, "g2_add", p[0], p[1], p[2], q[0], q[1], q[2])
+
+
+def g2_double(spec, p):
+    return _dispatch(spec, "g2_double", p[0], p[1], p[2])
+
+
+def g2_infinity(spec, n: int):
+    L = spec.n_limbs
+    one2 = jnp.concatenate([ff.one_mont(spec, n), ff.zeros(spec, n)], axis=0)
+    return (
+        jnp.zeros((2 * L, n), jnp.uint32),
+        one2,
+        jnp.zeros((2 * L, n), jnp.uint32),
+    )
+
+
+def g2_neg(spec, p):
+    x, y, z = p
+    L = spec.n_limbs
+    zero = jnp.zeros((L, y.shape[1]), jnp.uint32)
+    ny = jnp.concatenate(
+        [ff.sub(spec, zero, y[:L]), ff.sub(spec, zero, y[L:])], axis=0
+    )
+    return (x, ny, z)
 
 
 # -- extended twisted Edwards a=-1 (JubJub over Fr-381) ----------------------

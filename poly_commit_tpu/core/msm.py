@@ -100,8 +100,8 @@ def _fast_path_ok(group) -> bool:
         return group.name == "jubjub" and env_or_tpu()
     if group.__class__.__name__ != "WeierstrassGroup":
         return False
-    if getattr(group.fops, "elem_ndim", 0) != 1:
-        return False
+    if getattr(group.fops, "elem_ndim", 0) not in (1, 2):
+        return False  # Fq2 groups route through msm_tpu.G2Ops
     spec = group.fops.spec
     if 4 * spec.modulus > spec.R:
         return False  # ff supports these with post-reduce, but the MSM path
@@ -228,6 +228,24 @@ def msm(group, scalars: jnp.ndarray, points, c: int | None = None, lanes: int | 
             else msm_tpu.JACOBIAN_OPS
         )
         x, y, inf = points
+        if getattr(group.fops, "elem_ndim", 0) == 2:
+            # Fq2 coords (N, 2, L) -> (2L, N) c0||c1 limb stacks
+            L = spec.n_limbs
+            ops = msm_tpu.g2_ops(group)
+            conv = lambda a: a.transpose(1, 2, 0).reshape(2 * L, -1)
+            out = msm_tpu.msm(
+                spec, scalars, conv(x), conv(y), inf, assume_distinct, ops
+            )
+            return tuple(
+                jnp.stack(
+                    [
+                        ff.canonicalize(spec, cc[:L])[:, 0],
+                        ff.canonicalize(spec, cc[L:])[:, 0],
+                    ],
+                    axis=0,
+                )
+                for cc in out
+            )
         out = msm_tpu.msm(
             spec,
             scalars,

@@ -45,6 +45,10 @@ class JACOBIAN_OPS:
     n_coords = 3
 
     @staticmethod
+    def rows(spec):
+        return spec.n_limbs
+
+    @staticmethod
     def madd(spec, p, px, py, distinct: bool):
         return (EC.madd_distinct if distinct else EC.madd)(spec, p, px, py)
 
@@ -89,6 +93,10 @@ class EDWARDS_OPS:
     n_coords = 4
 
     @staticmethod
+    def rows(spec):
+        return spec.n_limbs
+
+    @staticmethod
     def madd(spec, p, px, py, distinct: bool):
         return EC.ed_madd(spec, p, px, py)
 
@@ -130,6 +138,92 @@ class EDWARDS_OPS:
         x = ff.from_ints(spec, [pt[0]])
         y = ff.from_ints(spec, [pt[1]])
         return (x, y, ff.one_mont(spec, 1), ff.mont_mul(spec, x, y))
+
+
+class G2Ops:
+    """Weierstrass over Fq2 (Jacobian, 3 coords of (2L, N) c0||c1 limb
+    stacks) — the G2 fast path. Covers the reference's group-generic
+    msm_bigint where it runs on G2 (MultilinearPC's per-variable G2 MSMs,
+    multilinear_pc/mod.rs:158-163). Instances are per-curve (the host
+    group for the fold lives on the curve object); get one via g2_ops()."""
+
+    n_coords = 3
+    host_identity = None
+
+    def __init__(self, group):
+        self.group = group
+
+    @staticmethod
+    def rows(spec):
+        return 2 * spec.n_limbs
+
+    @staticmethod
+    def madd(spec, p, px, py, distinct: bool):
+        return (EC.g2_madd_distinct if distinct else EC.g2_madd)(
+            spec, p, px, py
+        )
+
+    @staticmethod
+    def madd_packed(spec, p, pq, distinct: bool):
+        return (
+            EC.g2_madd_distinct_packed if distinct else EC.g2_madd_packed
+        )(spec, p, pq)
+
+    add = staticmethod(EC.g2_add)
+    double = staticmethod(EC.g2_double)
+    select = staticmethod(EC.select)
+    neg = staticmethod(EC.g2_neg)
+
+    @staticmethod
+    def infinity(spec, n: int):
+        return EC.g2_infinity(spec, n)
+
+    def host_group(self, spec):
+        from . import hostec
+
+        return hostec.host_group(self.group)
+
+    def to_host(self, spec, coords):
+        from . import hostec
+
+        L = spec.n_limbs
+
+        def ints2(cc):
+            c0 = ff.to_ints(spec, cc[:L])
+            c1 = ff.to_ints(spec, cc[L:])
+            return list(zip(c0, c1))
+
+        xs, ys, zs = (ints2(cc) for cc in coords)
+        hg = hostec.host_group(self.group)
+        pts = []
+        for x, y, z in zip(xs, ys, zs):
+            if z == (0, 0):
+                pts.append(None)
+            else:
+                pts.append(hg._jto_affine((x, y, z)))
+        return pts
+
+    def from_host(self, spec, pt):
+        L = spec.n_limbs
+        one2 = jnp.concatenate(
+            [ff.one_mont(spec, 1), ff.zeros(spec, 1)], axis=0
+        )
+        if pt is None:
+            z2 = jnp.zeros((2 * L, 1), jnp.uint32)
+            return (jnp.zeros((2 * L, 1), jnp.uint32), one2, z2)
+
+        def dev2(e):
+            return jnp.concatenate(
+                [ff.from_ints(spec, [e[0]]), ff.from_ints(spec, [e[1]])],
+                axis=0,
+            )
+
+        return (dev2(pt[0]), dev2(pt[1]), one2)
+
+
+@functools.lru_cache(maxsize=8)
+def g2_ops(group):
+    return G2Ops(group)
 
 
 def C_BITS() -> int:
@@ -337,7 +431,7 @@ def _msm_body(spec: FieldSpec, scalars: jnp.ndarray, x, y, inf,
               assume_distinct: bool = False, ops=JACOBIAN_OPS):
     c = C_BITS()
     n = scalars.shape[0]
-    L = spec.n_limbs
+    L = ops.rows(spec)  # limb rows per coordinate (2L for Fq2 groups)
     bsz = 1 << c
     dump = np.uint32(bsz)
     w_count = SCALAR_BITS // c

@@ -77,6 +77,19 @@ def make_mesh_2d(n_dp: int, n_tp: int) -> Mesh:
     )
 
 
+def make_mesh_3d(n_dp: int, n_tp: int, n_pp: int) -> Mesh:
+    """3-D mesh: 'dp' shards MSM bases/scalars, 'tp' shards the NTT
+    coefficient axis, 'pp' shards independent work batches (rows of
+    transforms / per-poly commits) — the dp x tp x host shape of a
+    multi-host slice (SURVEY.md §2.5/§5.8)."""
+    devs = jax.devices()
+    assert n_dp * n_tp * n_pp <= len(devs)
+    return Mesh(
+        np.asarray(devs[: n_dp * n_tp * n_pp]).reshape(n_dp, n_tp, n_pp),
+        ("dp", "tp", "pp"),
+    )
+
+
 def _fold_gathered(group, gathered, n_dev: int):
     """(n_dev, ...) pytree of projective points -> single point.
 
@@ -304,6 +317,76 @@ def batch_ntt_sharded(spec, rows: jnp.ndarray, mesh: Mesh,
     size. Returns (R, n_out, L)."""
     axis = axis or mesh.axis_names[0]
     return _batch_ntt_sharded_fn(spec, mesh, axis, inverse)(rows)
+
+
+@functools.lru_cache(maxsize=32)
+def _row_mul_sharded_fn(spec, mesh: Mesh, axis: str):
+    """v^T M with the ROW axis sharded: local log-depth partial sums, one
+    all_gather, D field adds (the reference rayon-parallelizes this same
+    loop, linear_codes/mod.rs:523-566). Field sums are order-independent
+    mod p and F.add returns canonical limbs, so the result is bit-identical
+    to the single-chip kernel."""
+    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+
+    def local(vec, mat):
+        prod = F.mont_mul(spec, vec[:, None, :], mat)
+        n = prod.shape[0]
+        while n > 1:
+            half = n // 2
+            head = F.add(spec, prod[:half], prod[half : 2 * half])
+            prod = (
+                head
+                if n % 2 == 0
+                else jnp.concatenate([head, prod[n - 1 :]], 0)
+            )
+            n = (n + 1) // 2
+        part = prod[0]  # (cols, L)
+        parts = jax.lax.all_gather(part, axis)  # (D, cols, L)
+        acc = parts[0]
+        for i in range(1, n_dev):
+            acc = F.add(spec, acc, parts[i])
+        return acc
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(PSpec(axis), PSpec(axis)),
+        out_specs=PSpec(), check_rep=False,
+    ))
+
+
+def row_mul_sharded(spec, vec: jnp.ndarray, mat: jnp.ndarray, mesh: Mesh,
+                    axis: str | None = None):
+    """v (n, L) times M (n, cols, L) -> (cols, L), rows sharded over the
+    mesh axis (n divisible by the axis size); result replicated."""
+    axis = axis or mesh.axis_names[0]
+    return _row_mul_sharded_fn(spec, mesh, axis)(vec, mat)
+
+
+@functools.lru_cache(maxsize=32)
+def _fold_key_sharded_fn(group, mesh: Mesh, axis: str):
+    """IPA key fold key_l + ch*key_r with the point axis sharded — pure
+    elementwise (no collective), mirroring the reference's rayon fold
+    (ipa_pc/mod.rs:691-701). Bit-identical: per-lane ops are unchanged."""
+
+    def local(kxl, kyl, kil, kxr, kyr, kir, bits):
+        kr_mul = group.scalar_mul(group.from_affine(kxr, kyr, kir), bits)
+        kl = group.from_affine(kxl, kyl, kil)
+        return group.to_affine(group.add(kl, kr_mul))
+
+    specs = (PSpec(axis),) * 6 + (PSpec(),)
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=specs,
+        out_specs=(PSpec(axis), PSpec(axis), PSpec(axis)),
+        check_rep=False,
+    ))
+
+
+def fold_key_sharded(group, k_l, k_r, scalar_bits, mesh: Mesh,
+                     axis: str | None = None):
+    """Affine key halves (x, y, inf) batched (n/2, ...); returns the folded
+    affine key sharded the same way. n/2 must divide by the axis size."""
+    axis = axis or mesh.axis_names[0]
+    fn = _fold_key_sharded_fn(group, mesh, axis)
+    return fn(*k_l, *k_r, scalar_bits)
 
 
 def shard_batch(arr, mesh: Mesh, axis: str | None = None):

@@ -414,6 +414,24 @@ class InnerProductArgPC(PolynomialCommitment):
         key = (key_x, key_y, key_inf)
         l_vec, r_vec = [], []
         n = d + 1
+
+        # Under an active mesh the per-round MSMs and the key fold shard
+        # over the point axis (the reference rayon-parallelizes both,
+        # ipa_pc/mod.rs:475-723 msm + :691-701 fold); rounds whose half no
+        # longer divides the axis fall back to the local kernels.
+        from ..parallel import mesh as PM
+
+        _active = PM.active_mesh()
+
+        def _mesh_for(sz):
+            if _active is None:
+                return None
+            mesh_, axis_ = _active
+            n_dev = dict(zip(mesh_.axis_names, mesh_.devices.shape))[axis_]
+            if n_dev > 1 and sz % n_dev == 0:
+                return mesh_, axis_
+            return None
+
         while n > 1:
             half = n // 2
             c_l, c_r = coeffs[:half], coeffs[half:n]
@@ -423,15 +441,28 @@ class InnerProductArgPC(PolynomialCommitment):
 
             ip_l = _inner_product(c_r, z_l)
             ip_r = _inner_product(c_l, z_r)
+            mk = _mesh_for(half)
+            if mk is not None:
+                l_msm = PM.msm_sharded(
+                    GROUP, F.from_mont(SPEC, c_r), k_l, mk[0], axis=mk[1],
+                    assume_distinct=True,
+                )
+                r_msm = PM.msm_sharded(
+                    GROUP, F.from_mont(SPEC, c_l), k_r, mk[0], axis=mk[1],
+                    assume_distinct=True,
+                )
+            else:
+                l_msm = M.msm_mont(GROUP, c_r, k_l, assume_distinct=True)
+                r_msm = M.msm_mont(GROUP, c_l, k_r, assume_distinct=True)
             l_pt = GROUP.add(
-                M.msm_mont(GROUP, c_r, k_l, assume_distinct=True),
+                l_msm,
                 GROUP.scalar_mul(
                     GROUP.from_affine(*(a[0] for a in h_prime_dev)),
                     C.scalar_bits(int(F.to_ints(SPEC, ip_l)), 256),
                 ),
             )
             r_pt = GROUP.add(
-                M.msm_mont(GROUP, c_l, k_r, assume_distinct=True),
+                r_msm,
                 GROUP.scalar_mul(
                     GROUP.from_affine(*(a[0] for a in h_prime_dev)),
                     C.scalar_bits(int(F.to_ints(SPEC, ip_r)), 256),
@@ -458,10 +489,18 @@ class InnerProductArgPC(PolynomialCommitment):
                 SPEC, z_l, F.mont_mul(SPEC, z_r, jnp.broadcast_to(chf, z_r.shape))
             )
             # key_l += ch * key_r  (batch scalar-mul + add + renormalize)
-            kr_proj = GROUP.from_affine(*k_r)
-            kr_mul = GROUP.scalar_mul(kr_proj, C.scalar_bits(round_ch, 256))
-            kl_proj = GROUP.from_affine(*k_l)
-            key = GROUP.to_affine(GROUP.add(kl_proj, kr_mul))
+            if mk is not None:
+                key = PM.fold_key_sharded(
+                    GROUP, k_l, k_r, C.scalar_bits(round_ch, 256), mk[0],
+                    axis=mk[1],
+                )
+            else:
+                kr_proj = GROUP.from_affine(*k_r)
+                kr_mul = GROUP.scalar_mul(
+                    kr_proj, C.scalar_bits(round_ch, 256)
+                )
+                kl_proj = GROUP.from_affine(*k_l)
+                key = GROUP.to_affine(GROUP.add(kl_proj, kr_mul))
             n = half
 
         final_key = _to_host(GROUP.from_affine(*(a[0] for a in key)))

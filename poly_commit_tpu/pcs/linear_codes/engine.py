@@ -72,7 +72,19 @@ def _col_hash(spec, col_ints) -> bytes:
 
 
 def _row_mul(spec, vec_dev, mat_dev):
-    """v^T M: vec (n, L), mat (n, m, L) -> (m, L); log-depth row sum."""
+    """v^T M: vec (n, L), mat (n, m, L) -> (m, L); log-depth row sum.
+
+    Under an active mesh the row axis is sharded (parallel/mesh.py
+    row_mul_sharded — the reference's rayon loop,
+    linear_codes/mod.rs:523-566); bit-identical to the local kernel."""
+    from ...parallel import mesh as PM
+
+    active = PM.active_mesh()
+    if active is not None:
+        mesh, axis = active
+        n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+        if n_dev > 1 and vec_dev.shape[0] % n_dev == 0:
+            return PM.row_mul_sharded(spec, vec_dev, mat_dev, mesh, axis)
     prod = F.mont_mul(spec, vec_dev[:, None, :], mat_dev)
     n = prod.shape[0]
     while n > 1:

@@ -254,3 +254,104 @@ def test_fast_msm_edwards_jubjub(rng, monkeypatch):
         if not inf[i]:
             exp = hg.add(exp, hg.mul(pt, s))
     assert got == exp
+
+
+# ---- G2 (Fq2) fast tier -----------------------------------------------------
+
+from tests.ref_ec import Fp2  # noqa: E402
+
+REF2 = RefWeierstrass(Fp2(FP.BLS12_381_Q, -1), (4, 4))
+GEN2 = (FP.BLS12_381_G2_X, FP.BLS12_381_G2_Y)
+
+
+def _g2_dev(pts):
+    """host affine Fq2 pairs -> (2L, N) c0||c1 coordinate stacks."""
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    xd = jnp.concatenate(
+        [ff.from_ints(SPEC, [c[0] for c in xs]),
+         ff.from_ints(SPEC, [c[1] for c in xs])], axis=0)
+    yd = jnp.concatenate(
+        [ff.from_ints(SPEC, [c[0] for c in ys]),
+         ff.from_ints(SPEC, [c[1] for c in ys])], axis=0)
+    return xd, yd
+
+
+def _g2_to_host(out):
+    L = SPEC.n_limbs
+    xs = list(zip(ff.to_ints(SPEC, out[0][:L]), ff.to_ints(SPEC, out[0][L:])))
+    ys = list(zip(ff.to_ints(SPEC, out[1][:L]), ff.to_ints(SPEC, out[1][L:])))
+    zs = list(zip(ff.to_ints(SPEC, out[2][:L]), ff.to_ints(SPEC, out[2][L:])))
+    f = Fp2(FP.BLS12_381_Q, -1)
+    res = []
+    for x, y, z in zip(xs, ys, zs):
+        if f.is_zero(z):
+            res.append(None)
+            continue
+        zi = f.inv(z)
+        zi2 = f.mul(zi, zi)
+        res.append((f.mul(x, zi2), f.mul(y, f.mul(zi2, zi))))
+    return res
+
+
+def test_g2_lf_ops(rng):
+    n = 4
+    ps = [REF2.mul(GEN2, k + 2) for k in range(n)]
+    qs = [REF2.mul(GEN2, 100 + k) for k in range(n)]
+    px, py = _g2_dev(ps)
+    qx, qy = _g2_dev(qs)
+    P = (px, py, jnp.concatenate(
+        [ff.one_mont(SPEC, n), ff.zeros(SPEC, n)], axis=0))
+    got = _g2_to_host(ec_lf.g2_madd(SPEC, P, qx, qy))
+    exp = [REF2.add(a, b) for a, b in zip(ps, qs)]
+    assert got == exp
+    got_d = _g2_to_host(ec_lf.g2_double(SPEC, P))
+    assert got_d == [REF2.add(a, a) for a in ps]
+    # packed-input variant (the MSM scan path)
+    pq = jnp.concatenate([qx[0::2] | (qx[1::2] << 16),
+                          qy[0::2] | (qy[1::2] << 16)], axis=0)
+    got_p = _g2_to_host(ec_lf.g2_madd_distinct_packed(SPEC, P, pq))
+    assert got_p == exp
+
+
+@pytest.mark.slow  # CPU-eager kernel fallback: minutes of dispatch storm
+def test_g2_fast_msm_matches_host(rng, monkeypatch):
+    """Full G2 Pippenger through msm_tpu.G2Ops (the MultilinearPC hot
+    path, multilinear_pc/mod.rs:158-163) vs the host big-int group."""
+    monkeypatch.setenv("POLY_COMMIT_FAST_MSM", "1")
+    monkeypatch.setenv("POLY_COMMIT_HOST_EC", "0")
+    from poly_commit_tpu.core import curve as C
+    from poly_commit_tpu.core import field as F
+    from poly_commit_tpu.core import hostec
+    from poly_commit_tpu.core import msm as M
+
+    G2 = C.BLS12_381_G2
+    hg = hostec.host_group(G2)
+    gen = (FP.BLS12_381_G2_X, FP.BLS12_381_G2_Y)
+    n = 8
+    pts = [hg.mul_fast(gen, k + 3) for k in range(n)]
+    xs = jnp.stack([
+        jnp.stack([F.from_ints(SPEC, p[0][0]), F.from_ints(SPEC, p[0][1])])
+        for p in pts])
+    ys = jnp.stack([
+        jnp.stack([F.from_ints(SPEC, p[1][0]), F.from_ints(SPEC, p[1][1])])
+        for p in pts])
+    inf = jnp.zeros((n,), bool)
+    sc_ints = [int(rng.integers(1, 1 << 60)) for _ in range(n)]
+    sc = M.scalars_from_ints(SPEC, sc_ints)
+    out = M.msm(G2, sc, (xs, ys, inf))
+    total = None
+    for s, p in zip(sc_ints, pts):
+        q = hg.mul_fast(p, s)
+        total = q if total is None else hg.add(total, q)
+    got = G2.to_affine(out)
+
+    def c2(a):
+        from poly_commit_tpu.core import field as F
+
+        v = F.to_ints(SPEC, a)
+        return tuple(v) if isinstance(v, list) else v
+
+    assert not bool(np.asarray(got[2]))
+    assert (c2(got[0][0]), c2(got[0][1])) == tuple(total[0])
+    assert (c2(got[1][0]), c2(got[1][1])) == tuple(total[1])

@@ -153,6 +153,7 @@ def test_ntt_sharded_matches_single(rng):
     assert np.array_equal(np.asarray(a), np.asarray(back))
 
 
+@pytest.mark.slow  # the driver runs __graft_entry__.dryrun_multichip separately every round
 def test_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -169,3 +170,48 @@ def test_entry_compiles():
     fn, args = GE.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_row_mul_sharded_bit_identical(rng):
+    """linear-code v^T M with sharded rows == local kernel, bit for bit."""
+    from poly_commit_tpu.core.field_params import FR_BLS12_381
+    from poly_commit_tpu.pcs.linear_codes.engine import _row_mul
+
+    spec = FR_BLS12_381
+    mesh = PM.make_mesh(4)
+    n, cols = 16, 8
+    p = spec.modulus
+    vec = F.from_ints(spec, [int(x) % p for x in rng.integers(1, 1 << 62, n)])
+    mat = F.from_ints(
+        spec, [int(x) % p for x in rng.integers(1, 1 << 62, n * cols)]
+    ).reshape(n, cols, spec.n_limbs)
+    local = _row_mul(spec, vec, mat)
+    sharded = PM.row_mul_sharded(spec, vec, mat, mesh)
+    assert np.array_equal(np.asarray(local), np.asarray(sharded))
+    # and through the engine's active-mesh dispatch
+    with PM.use_mesh(mesh):
+        dispatched = _row_mul(spec, vec, mat)
+    assert np.array_equal(np.asarray(local), np.asarray(dispatched))
+
+
+def test_ipa_fold_key_sharded_bit_identical(rng):
+    """IPA key fold sharded over points == the local fold, bit for bit."""
+    from poly_commit_tpu.core import curve as CC
+    from poly_commit_tpu.pcs import ipa_pc
+
+    G = ipa_pc.GROUP
+    mesh = PM.make_mesh(4)
+    n = 8
+    gen = G.generator()
+    pts = [CC.scalar_mul_int(G, gen, k + 2) for k in range(2 * n)]
+    aff = G.to_affine(
+        jax.tree_util.tree_map(lambda *cs: jnp.stack(cs, 0), *pts)
+    )
+    k_l = tuple(a[:n] for a in aff)
+    k_r = tuple(a[n:] for a in aff)
+    bits = CC.scalar_bits(123456789, 256)
+    kr_mul = G.scalar_mul(G.from_affine(*k_r), bits)
+    expected = G.to_affine(G.add(G.from_affine(*k_l), kr_mul))
+    got = PM.fold_key_sharded(G, k_l, k_r, bits, mesh)
+    for e, g in zip(expected, got):
+        assert np.array_equal(np.asarray(e), np.asarray(g))

@@ -31,6 +31,10 @@ def g2_dev(p):
     return (x, y, jnp.zeros((), bool))
 
 
+import pytest
+
+
+@pytest.mark.slow  # XLA:CPU compile of the full Miller-loop kernel chain
 def test_pairing_matches_reference_and_bilinear():
     e_ref = RP.pairing(G1, G2)
     e_jax = PR.pairing(g1_dev(G1), g2_dev(G2))
@@ -44,6 +48,17 @@ def test_pairing_matches_reference_and_bilinear():
     assert PR.f12_to_ints(e2) == RP.f12_pow(e_ref, a * b)
 
 
+def test_pairing_smoke_vs_reference():
+    """Cheap always-on coverage: one device pairing against the python
+    model (the slow-marked tests add bilinearity/cancellation sweeps).
+    Shares the compiled pairing kernel with the slow tests, so on a warm
+    cache it costs seconds."""
+    e_ref = RP.pairing(G1, G2)
+    e_jax = PR.pairing(g1_dev(G1), g2_dev(G2))
+    assert PR.f12_to_ints(e_jax) == e_ref
+
+
+@pytest.mark.slow  # XLA:CPU compile of the multi-pairing kernel chain
 def test_multi_pairing_cancellation_and_infinity():
     # e(P, Q) * e(-P, Q) == 1
     negg1 = REF1.neg(G1)
