@@ -349,8 +349,21 @@ class MarlinPST13(PolynomialCommitment):
             coeffs.append(c)
         idx = jnp.asarray(rows, jnp.int32)
         key = tuple(jnp.take(a, idx, axis=0) for a in ck.powers_of_g)
-        return M.msm(g1, M.scalars_from_ints(spec, coeffs), key,
-                     assume_distinct=True)
+        sc = M.scalars_from_ints(spec, coeffs)
+        # route through the active mesh (pad to the axis size) — the
+        # reference rayon-parallelizes this commit MSM like every other
+        from ..parallel import mesh as PM
+
+        active = PM.active_mesh()
+        if active is not None:
+            mesh, axis = active
+            n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+            if n_dev > 1:
+                psc, pkey = PM.pad_msm_inputs(g1, sc, key, n_dev)
+                return PM.msm_sharded(
+                    g1, psc, pkey, mesh, axis=axis, assume_distinct=True
+                )
+        return M.msm(g1, sc, key, assume_distinct=True)
 
     @classmethod
     def _gamma_msm(cls, ck, blind: MVPoly):

@@ -215,3 +215,21 @@ def test_ipa_fold_key_sharded_bit_identical(rng):
     got = PM.fold_key_sharded(G, k_l, k_r, bits, mesh)
     for e, g in zip(expected, got):
         assert np.array_equal(np.asarray(e), np.asarray(g))
+
+
+def test_pst13_commit_under_mesh_bit_identical():
+    """PST13's commit MSM routed through the mesh == single-chip."""
+    from poly_commit_tpu.pcs.data_structures import HostRng, LabeledPolynomial
+    from poly_commit_tpu.pcs.pst13 import MarlinPST13 as PC, MVPoly
+
+    mesh = PM.make_mesh(4)
+    rng = HostRng(21)
+    pp = PC.setup(2, num_vars=2, rng=rng)
+    ck, vk = PC.trim(pp, 2, 1)
+    poly = LabeledPolynomial(
+        "p", MVPoly.rand(HostRng(22), 2, 2, num_terms=6), num_vars=2
+    )
+    single, _ = PC.commit(ck, [poly], HostRng(23))
+    with PM.use_mesh(mesh):
+        sharded, _ = PC.commit(ck, [poly], HostRng(23))
+    assert single[0].commitment == sharded[0].commitment
