@@ -126,6 +126,7 @@ def test_msm_jubjub(rng):
     assert (g.fops.to_int(ax), g.fops.to_int(ay)) == expect
 
 
+@pytest.mark.slow  # unrolled Fq2 portable-kernel compile: ~2 min XLA:CPU
 def test_msm_g2(rng):
     from poly_commit_tpu.core import field as F
     from tests.ref_ec import Fp2
