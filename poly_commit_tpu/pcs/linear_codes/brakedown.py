@@ -326,7 +326,29 @@ class MultilinearBrakedownCode:
 
     def encode_rows(self, mat: jnp.ndarray, pp: BrakedownPCParams) -> jnp.ndarray:
         """Recursive expander encode, batched over rows
-        (multilinear_brakedown/mod.rs:56-84)."""
+        (multilinear_brakedown/mod.rs:56-84).
+
+        Under an active mesh the ROW batch is sharded (pure data parallel,
+        no collectives — the reference's rayon row loop); bit-identical
+        since every row's encode is elementwise-independent."""
+        from ...parallel import mesh as PM
+
+        active = PM.active_mesh()
+        if active is not None and mat.ndim == 3:
+            mesh, axis = active
+            n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+            if n_dev > 1 and mat.shape[0] % n_dev == 0:
+                fn = PM.shard_map(
+                    lambda m: self._encode_body(m, pp),
+                    mesh=mesh,
+                    in_specs=PM.PSpec(axis),
+                    out_specs=PM.PSpec(axis),
+                    check_rep=False,
+                )
+                return fn(mat)
+        return self._encode_body(mat, pp)
+
+    def _encode_body(self, mat: jnp.ndarray, pp: BrakedownPCParams) -> jnp.ndarray:
         spec = self.spec
         if mat.shape[-2] != pp.m:
             raise errors.PCError("encoding input has wrong length")

@@ -233,3 +233,23 @@ def test_pst13_commit_under_mesh_bit_identical():
     with PM.use_mesh(mesh):
         sharded, _ = PC.commit(ck, [poly], HostRng(23))
     assert single[0].commitment == sharded[0].commitment
+
+
+def test_brakedown_encode_sharded_bit_identical(rng):
+    """Brakedown expander encode with the row batch sharded == local."""
+    from poly_commit_tpu.pcs.data_structures import HostRng
+    from poly_commit_tpu.pcs.linear_codes import MultilinearBrakedown
+
+    code = MultilinearBrakedown.code
+    spec = MultilinearBrakedown.spec
+    pp = code.setup(0, 4, HostRng(31))
+    mesh = PM.make_mesh(4)
+    rows = 4
+    p = spec.modulus
+    mat = F.from_ints(
+        spec, [int(x) % p for x in rng.integers(1, 1 << 62, rows * pp.m)]
+    ).reshape(rows, pp.m, spec.n_limbs)
+    local = code.encode_rows(mat, pp)
+    with PM.use_mesh(mesh):
+        sharded = code.encode_rows(mat, pp)
+    assert np.array_equal(np.asarray(local), np.asarray(sharded))
