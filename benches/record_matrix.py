@@ -27,7 +27,7 @@ METRICS = [
 ]
 
 
-def tunnel_alive(timeout: int = 90) -> bool:
+def tunnel_alive(timeout: int = 240) -> bool:
     code = (
         "import jax, jax.numpy as jnp;"
         "print(float(jax.jit(lambda a:(a*a).sum())(jnp.arange(64.0))))"
@@ -66,9 +66,9 @@ def main():
             return
         todo.sort(key=lambda m: fails.get(m[0], 0))
         if not tunnel_alive():
-            print(f"[{time.strftime('%H:%M:%S')}] tunnel down; sleeping 5 min",
+            print(f"[{time.strftime('%H:%M:%S')}] tunnel down; sleeping 1 min",
                   flush=True)
-            time.sleep(300)
+            time.sleep(60)
             continue
         tag, env, tmo = todo[0]
         print(f"[{time.strftime('%H:%M:%S')}] running {tag}", flush=True)
